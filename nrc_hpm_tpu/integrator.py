@@ -1,0 +1,188 @@
+"""Volumetric path-tracing integrator.
+
+One differentiable, batched core replicating the reference's three GLSL
+``TracePath`` variants:
+
+- primary/NRC short paths (data/shader/nrc/gen_rays.comp:7-51): delta-tracked
+  bounces with probabilistic termination after PRIMARY_RAY_LENGTH and the
+  terminal (pos, dir) exported as the NRC query;
+- training paths (data/shader/nrc/prep_train_rays.comp:68-99): exactly
+  TRAIN_RAY_LENGTH bounces;
+- Monte-Carlo ground truth (data/shader/mc/render.comp:7-40): PATH_LENGTH
+  bounces.
+
+plus ``TraceScene`` (path_trace.glsl:133-148): single-scatter direct lighting
+from the directional light, the point light, and a one-sample phase-sampled
+environment term, each attenuated by ratio-tracked transmittance and weighted
+by the Henyey-Greenstein phase function.
+
+Everything is written array-at-a-time over flat ray batches with static loop
+bounds and per-lane active masks — the shape XLA/TPU wants.  RNG consumption
+per lane mirrors the per-thread GLSL streams (see transmittance.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .lights import LightFlags, Lights, sample_env_map
+from .sampling import hg_phase, new_ray_dir
+from .transmittance import delta_track, ratio_track
+from .utils import rng
+from .volume import Volume, find_entry_exit
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceParams:
+    """Static integrator parameters (compiled into the program)."""
+
+    flags: LightFlags
+    max_track_steps: int = 128
+
+
+def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
+                pos, direction, active):
+    """TraceScene(pos, dir) (path_trace.glsl:133-137): direct lighting at a
+    scatter point. Returns (rgb (..., 3), new_state)."""
+    total = jnp.zeros(pos.shape, pos.dtype)
+
+    if p.flags.dir_on:
+        # TraceDirLight (path_trace.glsl:45-56)
+        dl = lights.dir_light
+        to_exit_dir = -dl.direction / jnp.linalg.norm(dl.direction)
+        _, exit_pt, _ = find_entry_exit(
+            vol, pos, jnp.broadcast_to(to_exit_dir, pos.shape))
+        trans, state = ratio_track(state, vol, pos, exit_pt,
+                                   p.max_track_steps, active)
+        phase = hg_phase(jnp.sum(dl.direction * -direction, axis=-1), vol.g)
+        total = total + (trans * dl.strength * phase)[..., None]
+
+    if p.flags.point_on:
+        # TracePointLight (path_trace.glsl:58-69) — note the reference
+        # ratio-tracks from the LIGHT to the shading point.
+        pl = lights.point_light
+        lpos = jnp.broadcast_to(pl.pos, pos.shape)
+        trans, state = ratio_track(state, vol, lpos, pos,
+                                   p.max_track_steps, active)
+        to_light = lpos - pos
+        to_light = to_light / jnp.maximum(
+            jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-12)
+        phase = hg_phase(jnp.sum(to_light * -direction, axis=-1), vol.g)
+        total = total + pl.color * (pl.strength * trans * phase)[..., None]
+
+    if p.flags.env_on:
+        # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one random
+        # direction from the reference's uniform-in-polar-angle sampler,
+        # phase-weighted, ratio-tracked to the box exit.
+        rand_dir, state = new_ray_dir(state, direction, vol.g,
+                                      phase_sampling=False, active=active)
+        phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
+        _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
+        trans, state = ratio_track(state, vol, pos, exit_pt,
+                                   p.max_track_steps, active)
+        env = sample_env_map(lights.env, rand_dir)
+        total = total + env * (phase * trans)[..., None]
+
+    return total, state
+
+
+def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
+               ro, rd, *, n_bounces: int,
+               primary_ray_length: int | None = None,
+               primary_ray_prob: float = 0.0,
+               active=None):
+    """Shared bounce loop for all three TracePath variants.
+
+    With ``primary_ray_length=None`` this is the fixed-length train/MC loop;
+    otherwise the gen_rays probabilistic termination applies
+    (gen_rays.comp:39-42).
+
+    ro: (..., 3) ray origins (the CAMERA/pixel origin; the first segment
+    starts at the box entry like the reference, gen_rays.comp:11-13);
+    rd: (..., 3) unit directions.
+
+    Returns dict with:
+      radiance (..., 3), throughput (...,) == the 0.5^bounces factor,
+      did_scatter (...,), terminal_pos/terminal_dir (..., 3) (the NRC query:
+      last delta-track output + last sampled direction), state.
+    """
+    if active is None:
+        active = jnp.ones(ro.shape[:-1], bool)
+
+    entry, _, _ = find_entry_exit(vol, ro, rd)
+
+    radiance0 = jnp.zeros_like(ro)
+    factor0 = jnp.ones(ro.shape[:-1], ro.dtype)
+    scat0 = jnp.zeros(ro.shape[:-1], bool)
+    alive0 = active
+
+    def body(i, carry):
+        point, direction, radiance, factor, scattered, alive, state = carry
+        # Find new point (DeltaTrack)
+        new_point, exited, state = delta_track(
+            state, vol, point, direction, p.max_track_steps, alive)
+        # the reference assigns currentPoint BEFORE testing volumeExit, so
+        # exit lanes still expose the random fallback point as the terminal
+        point = jnp.where(alive[..., None], new_point, point)
+        alive = alive & ~exited
+        scattered = scattered | alive
+
+        factor = jnp.where(alive, factor * 0.5, factor)
+        light, state = trace_scene(state, vol, lights, p,
+                                   point, direction, alive)
+        radiance = jnp.where(alive[..., None],
+                             radiance + light * factor[..., None], radiance)
+
+        new_dir, state = new_ray_dir(state, direction, vol.g,
+                                     phase_sampling=True, active=alive)
+        direction = jnp.where(alive[..., None], new_dir, direction)
+
+        if primary_ray_length is not None:
+            # Probabilistic termination (gen_rays.comp:39-42). The uniform is
+            # consumed only by lanes that reach the test.
+            test = alive & (i >= primary_ray_length)
+            u, state = rng.masked_uniform(state, test)
+            terminate = test & ((u >= primary_ray_prob) | (i == 128))
+            alive = alive & ~terminate
+        return point, direction, radiance, factor, scattered, alive, state
+
+    carry = (entry, rd, radiance0, factor0, scat0, alive0, state)
+    carry = jax.lax.fori_loop(0, n_bounces, body, carry)
+    point, direction, radiance, factor, scattered, alive, state = carry
+
+    return dict(radiance=radiance, throughput=factor, did_scatter=scattered,
+                terminal_pos=point, terminal_dir=direction, state=state)
+
+
+def trace_primary(state, vol, lights, p: TraceParams, ro, rd, cfg,
+                  active=None):
+    """gen_rays TracePath: short NRC path.  ``cfg`` is the AppConfig slice
+    with primary_ray_length / primary_ray_prob / max_primary_bounces."""
+    if cfg.primary_ray_prob <= 0.0:
+        # with zero continuation probability the loop runs at most
+        # primary_ray_length + 1 bounces — keep the compiled loop tight
+        n = min(cfg.primary_ray_length + 1, cfg.max_primary_bounces)
+        prob = 0.0
+    else:
+        n = cfg.max_primary_bounces
+        prob = cfg.primary_ray_prob
+    return trace_path(state, vol, lights, p, ro, rd, n_bounces=n,
+                      primary_ray_length=cfg.primary_ray_length,
+                      primary_ray_prob=prob, active=active)
+
+
+def trace_fixed(state, vol, lights, p: TraceParams, ro, rd, n_bounces: int,
+                active=None):
+    """Train/MC TracePath: exactly ``n_bounces`` delta-tracked bounces."""
+    return trace_path(state, vol, lights, p, ro, rd, n_bounces=n_bounces,
+                      active=active)
+
+
+def primary_miss_mask(vol: Volume, ro, rd):
+    """Replicates the callers' miss test ``sky_sdf(entry) > MAX_RAY_DISTANCE``
+    (gen_rays.comp:82, mc/render.comp:69)."""
+    _, _, hit = find_entry_exit(vol, ro, rd)
+    return ~hit

@@ -1,0 +1,136 @@
+"""Heterogeneous participating medium: dense density grid + bounding box.
+
+TPU-first redesign of the reference's volume stack (vk::Texture3D +
+VolumeData + volume.glsl):
+
+- The VDB is loaded once into a dense array (utils/vdb.py) and quantized to
+  uint8 exactly like the reference's R8G8B8A8_UNORM upload
+  (src/Texture3D.cpp:100-116: ``uint8(value * 255)``), sampled back as
+  ``u8/255`` with NEAREST filtering and clamp-to-border black
+  (src/Texture3D.cpp:77-82).
+- The world-space box is centered at the origin with size
+  ``normalize(extent) * 107.5`` (NrcHpmRenderer.cu:910-912).
+- ``find_entry_exit`` replaces the reference's two-sided SDF sphere trace
+  (data/shader/include/volume.glsl:7-29) with an exact ray/AABB slab test —
+  same entry/exit points, but branch-free and fixed-cost, which is what the
+  TPU wants (the SDF march has a data-dependent trip count).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# data/shader/include/nrc-constants.glsl:36-37
+MAX_RAY_DISTANCE = 100000.0
+MIN_RAY_DISTANCE = 0.125
+# NrcHpmRenderer.cu:912 — world box scale applied to the normalized extent.
+WORLD_SCALE = 107.5
+
+
+@flax.struct.dataclass
+class Volume:
+    """Density volume pytree. ``grid`` is uint8-quantized density indexed
+    [x, y, z]; ``sky_size`` is the world-space box edge lengths."""
+
+    grid: jax.Array            # (X, Y, Z) uint8
+    sky_size: jax.Array        # (3,) float32
+    density_factor: jax.Array  # () float32 — VOLUME_DENSITY_FACTOR
+    g: jax.Array               # () float32 — HG anisotropy VOLUME_G
+
+    @property
+    def dims(self):
+        return self.grid.shape
+
+    @staticmethod
+    def from_dense(data: np.ndarray, density_factor: float, g: float,
+                   quantize: bool = True) -> "Volume":
+        """Build from a dense [x,y,z] float array in [0,1].
+
+        The reference fatals on unnormalized VDBs (Texture3D.cpp:74); we
+        clamp-and-quantize which is equivalent for normalized inputs.
+        """
+        data = np.asarray(data, np.float32)
+        if quantize:
+            grid = (np.clip(data, 0.0, 1.0) * 255.0).astype(np.uint8)
+        else:
+            # non-quantized path for oracle tests
+            grid = data
+        extent = np.array(data.shape, np.float32)
+        sky_size = extent / np.linalg.norm(extent) * WORLD_SCALE
+        return Volume(
+            grid=jnp.asarray(grid),
+            sky_size=jnp.asarray(sky_size.astype(np.float32)),
+            density_factor=jnp.float32(density_factor),
+            g=jnp.float32(g))
+
+    @staticmethod
+    def from_vdb(path: str, density_factor: float, g: float) -> "Volume":
+        from .utils.vdb import load_vdb
+        return Volume.from_dense(load_vdb(path).data, density_factor, g)
+
+    @staticmethod
+    def homogeneous_cube(n: int, value: float, density_factor: float,
+                         g: float) -> "Volume":
+        """BASELINE config 1: homogeneous cube volume."""
+        return Volume.from_dense(
+            np.full((n, n, n), value, np.float32), density_factor, g)
+
+
+def sky_uvw(vol: Volume, pos: jax.Array) -> jax.Array:
+    """World position -> [0,1]^3 texture coordinate (volume.glsl:31-34);
+    the box is centered at skyPos = origin."""
+    return pos / vol.sky_size + 0.5
+
+
+def get_density(vol: Volume, pos: jax.Array) -> jax.Array:
+    """VOLUME_DENSITY_FACTOR * nearest-sampled density, clamp-to-border
+    black (volume.glsl:36-39 + the sampler config in Texture3D.cpp:77-82).
+
+    pos: (..., 3) world positions -> (...) densities.
+    """
+    uvw = sky_uvw(vol, pos)
+    dims = jnp.asarray(vol.dims, jnp.float32)
+    idxf = jnp.floor(uvw * dims)
+    inside = jnp.all((uvw >= 0.0) & (uvw < 1.0), axis=-1)
+    idx = jnp.clip(idxf.astype(jnp.int32), 0,
+                   jnp.asarray(vol.dims, jnp.int32) - 1)
+    # flat gather — friendlier to XLA than 3-axis advanced indexing
+    X, Y, Z = vol.dims
+    lin = (idx[..., 0] * (Y * Z) + idx[..., 1] * Z + idx[..., 2])
+    raw = jnp.take(vol.grid.reshape(-1), lin, axis=0)
+    if vol.grid.dtype == jnp.uint8:
+        val = raw.astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        val = raw.astype(jnp.float32)
+    return jnp.where(inside, val, 0.0) * vol.density_factor
+
+
+def find_entry_exit(vol: Volume, ro: jax.Array, rd: jax.Array):
+    """Ray/box entry + exit points.
+
+    Matches the contract of find_entry_exit (volume.glsl:7-29): for a hit,
+    ``entry`` is the first box point along the ray from ``ro`` (== ``ro``
+    itself if inside) and ``exit`` the last; for a miss the returned points
+    are far away and ``hit`` is False (callers of the reference detect this
+    via ``sky_sdf(entry) > MAX_RAY_DISTANCE``, e.g. gen_rays.comp:82).
+
+    ro, rd: (..., 3). Returns (entry, exit, hit).
+    """
+    half = 0.5 * vol.sky_size
+    safe_rd = jnp.where(jnp.abs(rd) < 1e-12, 1e-12, rd)
+    inv = 1.0 / safe_rd
+    t1 = (-half - ro) * inv
+    t2 = (half - ro) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < MAX_RAY_DISTANCE)
+    t_entry = jnp.maximum(tmin, 0.0)
+    entry = ro + t_entry[..., None] * rd
+    exit_ = ro + tmax[..., None] * rd
+    far = ro + (2.0 * MAX_RAY_DISTANCE) * rd
+    entry = jnp.where(hit[..., None], entry, far)
+    exit_ = jnp.where(hit[..., None], exit_, far)
+    return entry, exit_, hit

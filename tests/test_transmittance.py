@@ -1,0 +1,99 @@
+import jax.numpy as jnp
+import numpy as np
+
+from nrc_hpm_tpu.transmittance import (delta_track, fixed_step_transmittance,
+                                       ratio_track)
+from nrc_hpm_tpu.volume import Volume, find_entry_exit
+
+
+def _states(n, salt=0.123):
+    from nrc_hpm_tpu.utils import rng
+    uv = jnp.stack([jnp.linspace(0, 1, n), jnp.linspace(1, 0, n)], -1)
+    return rng.init_state(uv, jnp.asarray([salt, 0.57, 0.31, 0.77]))
+
+
+def test_fixed_step_homogeneous_analytic():
+    vol = Volume.homogeneous_cube(4, 1.0, density_factor=0.5, g=0.0)
+    sky = np.asarray(vol.sky_size)
+    start = jnp.asarray([[-sky[0] / 2 + 0.1, 0, 0]], jnp.float32)
+    end = jnp.asarray([[sky[0] / 2 - 0.1, 0, 0]], jnp.float32)
+    L = float(sky[0] - 0.2)
+    t = np.asarray(fixed_step_transmittance(vol, start, end, 64))[0]
+    assert abs(t - np.exp(-0.5 * L)) < 0.02
+
+
+def test_ratio_track_unbiased_homogeneous():
+    # E[ratio-tracked T] == exp(-sigma L); with sigma == majorant every
+    # sample multiplies (1 - 1) = 0 unless it escapes, so use a thinner
+    # medium via the quantized grid value 128/255.
+    vol = Volume.homogeneous_cube(4, 128.5 / 255, density_factor=0.8, g=0.0)
+    sky = np.asarray(vol.sky_size)
+    n = 20000
+    start = jnp.broadcast_to(jnp.asarray([-sky[0] / 2 + 0.2, 0, 0]), (n, 3))
+    end = jnp.broadcast_to(jnp.asarray([sky[0] / 2 - 0.2, 0, 0]), (n, 3))
+    L = float(sky[0] - 0.4)
+    sigma = 0.8 * 128 / 255
+    t, _ = ratio_track(_states(n), vol, start, end)
+    est = float(np.asarray(t).mean())
+    expect = np.exp(-sigma * L)
+    assert abs(est - expect) < 0.02 * max(expect, 0.02) + 0.005
+
+
+def test_ratio_track_vacuum_is_one():
+    vol = Volume.homogeneous_cube(4, 0.0, density_factor=0.6, g=0.0)
+    n = 64
+    start = jnp.zeros((n, 3), jnp.float32)
+    end = jnp.broadcast_to(jnp.asarray([10.0, 0, 0]), (n, 3))
+    t, _ = ratio_track(_states(n), vol, start, end)
+    assert np.allclose(np.asarray(t), 1.0)
+
+
+def test_delta_track_free_path_distribution():
+    # Homogeneous: collision distance ~ Exp(sigma); P(exit) = exp(-sigma*L)
+    vol = Volume.homogeneous_cube(4, 1.0, density_factor=0.15, g=0.0)
+    sky = np.asarray(vol.sky_size)
+    n = 40000
+    ro = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    pos, exited, _ = delta_track(_states(n), vol, ro, rd)
+    exited = np.asarray(exited)
+    L = float(sky[0])
+    p_exit = np.exp(-0.15 * L)
+    assert abs(exited.mean() - p_exit) < 0.01
+    # collision points: distances ~ truncated Exp(0.15)
+    dist = np.linalg.norm(np.asarray(pos) - np.asarray(ro), axis=-1)
+    d = dist[~exited]
+    # truncated exponential mean
+    mean_trunc = (1 / 0.15) - L * p_exit / (1 - p_exit)
+    assert abs(d.mean() - mean_trunc) < 0.3
+
+
+def test_delta_track_vacuum_exits():
+    vol = Volume.homogeneous_cube(4, 0.0, density_factor=0.6, g=0.0)
+    n = 128
+    ro = jnp.zeros((n, 3), jnp.float32)
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    _, exited, _ = delta_track(_states(n), vol, ro, rd)
+    assert np.asarray(exited).all()
+
+
+def test_delta_track_collisions_inside_box(small_volume):
+    n = 4096
+    sky = np.asarray(small_volume.sky_size)
+    ro = jnp.broadcast_to(jnp.asarray([-sky[0], 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    pos, exited, _ = delta_track(_states(n), small_volume, ro, rd)
+    pos = np.asarray(pos)[~np.asarray(exited)]
+    assert (np.abs(pos) <= sky / 2 + 1e-3).all()
+
+
+def test_rng_state_divergence_masked():
+    # two identical lanes, one masked inactive -> state must not advance
+    vol = Volume.homogeneous_cube(4, 1.0, 0.5, 0.0)
+    ro = jnp.zeros((2, 3), jnp.float32)
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (2, 3))
+    s0 = jnp.asarray([0.4, 0.4], jnp.float32)
+    active = jnp.asarray([True, False])
+    _, _, s1 = delta_track(s0, vol, ro, rd, active=active)
+    assert np.asarray(s1)[1] == np.float32(0.4)
+    assert np.asarray(s1)[0] != np.float32(0.4)
