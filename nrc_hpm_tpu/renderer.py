@@ -144,3 +144,184 @@ def primary_pass(rng_state, vol, lights, params: TraceParams, cfg: AppConfig,
     return dict(primary_color=primary_color, did_scatter=did_scatter,
                 nrc_pos=res["terminal_pos"], nrc_dir=res["terminal_dir"],
                 state=res["state"])
+
+
+# ---------------------------------------------------------------------------
+# NRC renderer (NrcHpmRenderer equivalent)
+# ---------------------------------------------------------------------------
+
+from .models.nrc.cache import NeuralRadianceCache, NrcState  # noqa: E402
+from .ring_buffer import RingBuffer, ring_pop, ring_push, ring_wrap  # noqa: E402
+from .sampling import dir_to_spherical_norm  # noqa: E402
+from .volume import sky_uvw  # noqa: E402
+
+
+@flax.struct.dataclass
+class NrcRenderState:
+    """Per-run mutable state of the NRC renderer."""
+
+    image: jax.Array        # (H, W, 4) blended output
+    blend_index: jax.Array  # () int32
+    ring: RingBuffer
+    nrc: NrcState
+    key: jax.Array
+
+
+def pack_nrc_inputs(vol: Volume, pos: jax.Array, direction: jax.Array
+                    ) -> jax.Array:
+    """(pos, dir) -> the 5-float NrcInput layout.
+
+    Position is normalized to the volume's [0,1]^3 box coordinates.
+    Divergence (documented fix of SURVEY quirk 2): the reference computes
+    ``pos/skySize + skySize/2`` (prep_infer_rays.comp:10) — adding half the
+    WORLD SIZE (~+50) instead of 0.5; the hash grid only worked because the
+    shift is consistent.  We use the intended ``pos/skySize + 0.5``.
+    """
+    uvw = sky_uvw(vol, pos)
+    sph = dir_to_spherical_norm(direction)
+    return jnp.concatenate([uvw, sph], axis=-1)
+
+
+class NrcRenderer:
+    """The flagship model family: online neural-radiance-cache renderer.
+
+    One jitted ``step`` per frame does what the reference splits across five
+    compute pipelines, two queue submits, an external-semaphore CUDA phase
+    and a CPU filter readback (src/NrcHpmRenderer.cu:299-353):
+
+      1. gen_rays: short primary paths + NRC query export
+      2. prep_infer_rays: pack 5-float query inputs
+      3. NRC inference over every pixel (the reference's per-batch skip
+         filter is moot here: its default config covers all of 1080p with a
+         single 2^21 batch, and XLA prefers the dense batched matmul)
+      4. prep_train_rays: sparse long training paths + self-training ring
+      5. trainBatchCount Adam+EMA steps
+      6. composite + temporal blend
+
+    Set ``train=False`` for frozen-cache rendering (BASELINE config 3).
+    """
+
+    def __init__(self, cfg: AppConfig, vol: Optional[Volume] = None,
+                 lights: Optional[Lights] = None,
+                 width: Optional[int] = None, height: Optional[int] = None,
+                 show_nrc: bool = True, blend: bool = True):
+        self.cfg = cfg
+        self.width = width or cfg.render_width
+        self.height = height or cfg.render_height
+        self.vol = vol if vol is not None else _volume_from_config(cfg)
+        self.lights = lights if lights is not None \
+            else lights_from_scene(cfg.scene)
+        self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
+                                  max_track_steps=cfg.max_track_steps)
+        self.cache = NeuralRadianceCache(cfg)
+        self.show_nrc = show_nrc
+        self.blend = blend
+
+        # CalcTrainSubset against OUR render size (the reference factors
+        # 65536 over 1920x1080 into a 256x256 grid at (7,4) strides)
+        tw, th, xd, yd = dataclasses.replace(
+            cfg, render_width=self.width, render_height=self.height
+        ).train_subset()
+        self.train_w, self.train_h = tw, th
+        self.train_x_dist, self.train_y_dist = xd, yd
+
+        self._step_train = jax.jit(
+            partial(self._step, train=True), donate_argnums=(0,))
+        self._step_frozen = jax.jit(
+            partial(self._step, train=False), donate_argnums=(0,))
+
+    def init_state(self, seed: int = 0) -> NrcRenderState:
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        return NrcRenderState(
+            image=jnp.zeros((self.height, self.width, 4), jnp.float32),
+            blend_index=jnp.int32(1),
+            ring=RingBuffer.create(self.cfg.train_ring_size),
+            nrc=self.cache.init_state(sub),
+            key=key)
+
+    def step(self, state: NrcRenderState, camera: Camera,
+             train: bool = True) -> NrcRenderState:
+        fn = self._step_train if train else self._step_frozen
+        return fn(state, camera, self.vol, self.lights)
+
+    # ------------------------------------------------------------------
+    def _step(self, state: NrcRenderState, camera: Camera, vol: Volume,
+              lights: Lights, *, train: bool) -> NrcRenderState:
+        cfg = self.cfg
+        key, sub = jax.random.split(state.key)
+        frame_rand = rng.frame_random(sub)
+
+        # 1-2: primary rays + NRC queries ------------------------------
+        ro, rd, frag_uv = pixel_rays(camera, self.width, self.height)
+        rng_state = rng.init_state(frag_uv, frame_rand)
+        ro_b = jnp.broadcast_to(ro, rd.shape)
+        prim = primary_pass(rng_state, vol, lights, self.params, cfg,
+                            ro_b, rd)
+
+        # 3: cache inference over every pixel (EMA params) -------------
+        x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])
+        nrc_rgb = self.cache.infer(state.nrc, x5.reshape(-1, 5))
+        nrc_rgb = nrc_rgb.reshape(self.height, self.width, 3)
+
+        # 6: composite + blend (nrc/render.comp:23-41) -----------------
+        add = jnp.maximum(nrc_rgb, 0.0) * prim["primary_color"][..., 3:4]
+        use = self.show_nrc & prim["did_scatter"]
+        out_rgb = prim["primary_color"][..., :3] + \
+            jnp.where(use[..., None], add, 0.0)
+        out = jnp.concatenate(
+            [out_rgb, jnp.ones_like(out_rgb[..., :1])], axis=-1)
+        if self.blend:
+            bf = 1.0 / state.blend_index.astype(jnp.float32)
+            image = bf * out + (1.0 - bf) * state.image
+            blend_index = state.blend_index + 1
+        else:
+            image = out
+            blend_index = state.blend_index
+
+        ring = ring_wrap(state.ring)
+        nrc_state = state.nrc
+
+        if train:
+            # 4: training rays (prep_train_rays.comp main) -------------
+            xs = jnp.arange(self.train_w) * self.train_x_dist
+            ys = jnp.arange(self.train_h) * self.train_y_dist
+            gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # (th, tw)
+            scat = prim["did_scatter"][gy, gx].reshape(-1)
+            qpos = prim["nrc_pos"][gy, gx].reshape(-1, 3)
+            qdir = prim["nrc_dir"][gy, gx].reshape(-1, 3)
+
+            popped, ring = ring_pop(ring, ~scat)
+            t_ro = jnp.where(scat[..., None], qpos, popped[:, :3])
+            t_rd = jnp.where(scat[..., None], qdir, popped[:, 3:])
+            t_rd = t_rd / jnp.maximum(
+                jnp.linalg.norm(t_rd, axis=-1, keepdims=True), 1e-12)
+
+            # train RNG streams reuse the train-grid corner subwindow of
+            # screen UVs (prep_train_rays.comp:108 — quirk 7, replicated)
+            tx = jnp.arange(self.train_w, dtype=jnp.float32) / self.width
+            ty = jnp.arange(self.train_h, dtype=jnp.float32) / self.height
+            tu, tv = jnp.meshgrid(tx, ty, indexing="xy")
+            t_state = rng.init_state(
+                jnp.stack([tu, tv], -1).reshape(-1, 2), frame_rand)
+
+            target = jnp.zeros_like(t_ro)
+            for _ in range(cfg.train_spp):
+                res = trace_fixed(t_state, vol, lights, self.params,
+                                  t_ro, t_rd, cfg.train_ray_length)
+                target = target + res["radiance"]
+                t_state = res["state"]
+            target = target / cfg.train_spp
+            # clamp (prep_train_rays.comp:58)
+            target = jnp.minimum(target, 8.0)
+
+            # scattered rays feed the ring (StoreNrcTrainData:65)
+            ring = ring_push(
+                ring, scat, jnp.concatenate([t_ro, t_rd], axis=-1))
+
+            # 5: trainBatchCount optimization steps --------------------
+            train_x5 = pack_nrc_inputs(vol, t_ro, t_rd)
+            nrc_state = self.cache.train_frame(nrc_state, train_x5, target)
+
+        return NrcRenderState(image=image, blend_index=blend_index,
+                              ring=ring, nrc=nrc_state, key=key)
