@@ -1,0 +1,183 @@
+"""Application entry point — the reference's main loop, headless.
+
+Replicates the experiment surface of src/main.cu:
+- the 17 positional experiment args (or the built-in defaults when absent,
+  main.cu:429-439), plus optional ``--flag`` overrides for the TPU build;
+- output/<configName>/ with log.txt benchmark lines and metrics.jsonl;
+- per-frame: NRC render (+online training), optional MC render, golden
+  comparison for both, NaN/Inf-loss abort (main.cu:380-384);
+- EXR export of the accumulated images on exit and checkpointing of the
+  trained cache (new capability).
+
+The reference's ImGui/swapchain UI maps to structured logs; run with
+``--platform cpu`` for a quick functional pass without the TPU.
+
+Usage:
+  python -m nrc_hpm_tpu.app [17 positional args] [--frames N] [--width W]
+      [--height H] [--renderer nrc|mc|both] [--benchmark-every K]
+      [--platform cpu|tpu] [--mesh N] [--out DIR] [--checkpoint PATH]
+      [--load-checkpoint PATH] [--export-exr]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native NRC-HPM renderer",
+        usage=__doc__)
+    p.add_argument("config_args", nargs="*",
+                   help="the reference's 17 positional experiment args")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--renderer", choices=("nrc", "mc", "both"),
+                   default="both")
+    p.add_argument("--benchmark-every", type=int, default=1,
+                   help="compare against the golden every K frames "
+                        "(the reference benchmarks every frame)")
+    p.add_argument("--platform", choices=("tpu", "cpu"), default="tpu")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard over N devices (0 = single chip)")
+    p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--checkpoint", default=None,
+                   help="save the trained cache state here on exit")
+    p.add_argument("--load-checkpoint", default=None)
+    p.add_argument("--no-train", action="store_true",
+                   help="frozen-cache rendering (BASELINE config 3)")
+    p.add_argument("--export-exr", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import numpy as np
+
+    from .camera import Camera
+    from .config import DEFAULT_ARGV, AppConfig
+    from .reference import GoldenReference
+    from .renderer import McRenderer, NrcRenderer
+    from .utils.metrics import RunLogger
+
+    if args.config_args:
+        cfg = AppConfig.from_argv(args.config_args)
+    else:
+        print("No arguments found. Loading defaults")
+        cfg = AppConfig.from_argv(DEFAULT_ARGV)
+    if args.width or args.height:
+        cfg = dataclasses.replace(
+            cfg, render_width=args.width or cfg.render_width,
+            render_height=args.height or cfg.render_height)
+
+    out_dir = args.out or os.path.join("output", cfg.name())
+    logger = RunLogger(out_dir)
+    print(f"device: {jax.devices()[0]}; output: {out_dir}")
+
+    cam = Camera.reference_camera(
+        aspect=cfg.render_width / cfg.render_height)
+
+    golden = None
+    try:
+        golden = GoldenReference.load(cfg.scene.id)
+    except FileNotFoundError:
+        print(f"no golden image for scene {cfg.scene.id}; "
+              "comparisons disabled")
+
+    # renderers -----------------------------------------------------------
+    nrc_renderer = nrc_state = None
+    mc_renderer = mc_state = None
+    if args.renderer in ("nrc", "both"):
+        if args.mesh:
+            from .parallel.sharding import ShardedNrcRenderer, make_mesh
+            nrc_renderer = ShardedNrcRenderer(cfg, mesh=make_mesh(args.mesh))
+        else:
+            nrc_renderer = NrcRenderer(cfg)
+        nrc_state = nrc_renderer.init_state(0)
+        if args.load_checkpoint:
+            from .utils.checkpoint import load_pytree
+            nrc_state = nrc_state.replace(
+                nrc=load_pytree(args.load_checkpoint, nrc_state.nrc))
+            print(f"loaded cache checkpoint {args.load_checkpoint}")
+    if args.renderer in ("mc", "both"):
+        mc_renderer = McRenderer(cfg)
+        mc_state = mc_renderer.init_state(0)
+
+    train = not args.no_train
+    t_start = time.time()
+    for frame in range(args.frames):
+        t0 = time.time()
+        if nrc_renderer is not None:
+            nrc_state = nrc_renderer.step(nrc_state, cam, train=train)
+        if mc_renderer is not None:
+            mc_state = mc_renderer.step(mc_state, cam)
+        if nrc_renderer is not None:
+            jax.block_until_ready(nrc_state.image)
+        if mc_renderer is not None:
+            jax.block_until_ready(mc_state.image)
+        frame_ms = (time.time() - t0) * 1000.0
+
+        loss = float(nrc_state.nrc.loss) if nrc_renderer is not None else None
+        nrc_cmp = mc_cmp = None
+        if golden is not None and frame % args.benchmark_every == 0:
+            if nrc_renderer is not None:
+                nrc_cmp = golden.compare(np.asarray(nrc_state.image))
+            if mc_renderer is not None:
+                mc_cmp = golden.compare(np.asarray(mc_state.image))
+        logger.frame(frame, frame_ms, loss=loss, nrc_cmp=nrc_cmp,
+                     mc_cmp=mc_cmp)
+
+        msg = f"frame {frame}: {frame_ms:.1f} ms"
+        if loss is not None:
+            msg += f", loss {loss:.4f}"
+        if nrc_cmp is not None:
+            msg += (f", nrc mse {nrc_cmp.mse:.5f} relBias "
+                    f"{nrc_cmp.rel_bias:+.4f} cv {nrc_cmp.cv:.3f}")
+        if mc_cmp is not None:
+            msg += f", mc mse {mc_cmp.mse:.5f}"
+        print(msg, flush=True)
+
+        # NaN/Inf loss abort (main.cu:380-384)
+        if loss is not None and not math.isfinite(loss):
+            print("Loss is NaN or Inf — aborting")
+            break
+
+    total = time.time() - t_start
+    print(f"{frame + 1} frames in {total:.1f}s "
+          f"({(frame + 1) / total:.2f} fps)")
+
+    if args.export_exr:
+        from .utils.exr import write_exr
+        if nrc_state is not None:
+            write_exr(os.path.join(out_dir, "nrc.exr"),
+                      np.asarray(nrc_state.image))
+        if mc_state is not None:
+            write_exr(os.path.join(out_dir, "mc.exr"),
+                      np.asarray(mc_state.image))
+        print(f"exported EXRs to {out_dir}")
+
+    if args.checkpoint and nrc_state is not None:
+        from .utils.checkpoint import save_pytree
+        save_pytree(args.checkpoint, nrc_state.nrc)
+        print(f"saved cache checkpoint {args.checkpoint}")
+
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,3 +107,63 @@ def rays_for_uv(cam: Camera, frag_uv: jax.Array) -> jax.Array:
     rd = pixel_world - cam.pos
     norm = jnp.linalg.norm(rd, axis=-1, keepdims=True)
     return rd / jnp.maximum(norm, 1e-20)
+
+
+def camera_move(cam: Camera, pos, view_dir, move, up=(0.0, 1.0, 0.0)):
+    """WASD-style move (src/Camera.cpp:182-188): ``move`` = (side, up,
+    front) deltas in the camera frame, Y locked to world up.
+
+    Host-side helper operating on numpy pos/view_dir; returns a new Camera
+    plus the updated (pos, view_dir) tuple — the functional analog of the
+    reference's Input-driven camera controller (src/Input.cpp:49-97).
+    """
+    pos = np.asarray(pos, np.float32)
+    view_dir = np.asarray(view_dir, np.float32)
+    up = np.asarray(up, np.float32)
+    front = view_dir * np.array([1.0, 0.0, 1.0], np.float32)
+    front = front / max(np.linalg.norm(front), 1e-12)
+    side = np.cross(view_dir, up)
+    side = side / max(np.linalg.norm(side), 1e-12)
+    new_pos = pos + front * move[2] + side * move[0] \
+        + np.array([0.0, move[1], 0.0], np.float32)
+    return Camera.create(new_pos, view_dir, up), (new_pos, view_dir)
+
+
+def camera_rotate(cam: Camera, pos, view_dir, phi, theta,
+                  up=(0.0, 1.0, 0.0)):
+    """Mouse-look rotation (src/Camera.cpp:191-199): yaw ``phi`` about world
+    up then pitch ``theta`` about the side axis."""
+    pos = np.asarray(pos, np.float32)
+    v = np.asarray(view_dir, np.float32)
+    up = np.asarray(up, np.float32)
+
+    def rot(axis, angle):
+        axis = axis / max(np.linalg.norm(axis), 1e-12)
+        c, s = np.cos(angle), np.sin(angle)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]], np.float32)
+        return np.eye(3, dtype=np.float32) + s * K + (1 - c) * (K @ K)
+
+    v = rot(up, phi) @ v
+    side = np.cross(v, up)
+    v = rot(side, theta) @ v
+    v = v / np.linalg.norm(v)
+    return Camera.create(pos, v, up), (pos, v)
+
+
+def camera_rotate_around_origin(cam: Camera, pos, axis, angle,
+                                up=(0.0, 1.0, 0.0)):
+    """RotateAroundOrigin (src/Camera.cpp:176-180): orbit the origin and
+    look back at it."""
+    pos = np.asarray(pos, np.float32)
+    axis = np.asarray(axis, np.float32)
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    c, s = np.cos(angle), np.sin(angle)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]], np.float32)
+    R = np.eye(3, dtype=np.float32) + s * K + (1 - c) * (K @ K)
+    new_pos = R @ pos
+    view = -new_pos / max(np.linalg.norm(new_pos), 1e-12)
+    return Camera.create(new_pos, view, up), (new_pos, view)

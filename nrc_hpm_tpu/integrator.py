@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from .lights import LightFlags, Lights, sample_env_map
 from .sampling import hg_phase, new_ray_dir
-from .transmittance import delta_track, ratio_track
+from .transmittance import (delta_track, delta_track_fast, ratio_track,
+                            ratio_track_fast)
 from .utils import rng
 from .volume import Volume, find_entry_exit
 
@@ -41,6 +42,17 @@ class TraceParams:
 
     flags: LightFlags
     max_track_steps: int = 128
+    # segment-vectorized tracking (one big gather per 32-step block) vs the
+    # sequential per-step loops that mirror the reference's control flow
+    fast: bool = True
+
+    @property
+    def ratio_track(self):
+        return ratio_track_fast if self.fast else ratio_track
+
+    @property
+    def delta_track(self):
+        return delta_track_fast if self.fast else delta_track
 
 
 def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
@@ -55,8 +67,8 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
         to_exit_dir = -dl.direction / jnp.linalg.norm(dl.direction)
         _, exit_pt, _ = find_entry_exit(
             vol, pos, jnp.broadcast_to(to_exit_dir, pos.shape))
-        trans, state = ratio_track(state, vol, pos, exit_pt,
-                                   p.max_track_steps, active)
+        trans, state = p.ratio_track(state, vol, pos, exit_pt,
+                                     p.max_track_steps, active=active)
         phase = hg_phase(jnp.sum(dl.direction * -direction, axis=-1), vol.g)
         total = total + (trans * dl.strength * phase)[..., None]
 
@@ -65,8 +77,8 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
         # ratio-tracks from the LIGHT to the shading point.
         pl = lights.point_light
         lpos = jnp.broadcast_to(pl.pos, pos.shape)
-        trans, state = ratio_track(state, vol, lpos, pos,
-                                   p.max_track_steps, active)
+        trans, state = p.ratio_track(state, vol, lpos, pos,
+                                     p.max_track_steps, active=active)
         to_light = lpos - pos
         to_light = to_light / jnp.maximum(
             jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-12)
@@ -81,8 +93,8 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
                                       phase_sampling=False, active=active)
         phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
         _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
-        trans, state = ratio_track(state, vol, pos, exit_pt,
-                                   p.max_track_steps, active)
+        trans, state = p.ratio_track(state, vol, pos, exit_pt,
+                                     p.max_track_steps, active=active)
         env = sample_env_map(lights.env, rand_dir)
         total = total + env * (phase * trans)[..., None]
 
@@ -122,8 +134,8 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
     def body(i, carry):
         point, direction, radiance, factor, scattered, alive, state = carry
         # Find new point (DeltaTrack)
-        new_point, exited, state = delta_track(
-            state, vol, point, direction, p.max_track_steps, alive)
+        new_point, exited, state = p.delta_track(
+            state, vol, point, direction, p.max_track_steps, active=alive)
         # the reference assigns currentPoint BEFORE testing volumeExit, so
         # exit lanes still expose the random fallback point as the terminal
         point = jnp.where(alive[..., None], new_point, point)

@@ -117,3 +117,134 @@ def delta_track(state: jax.Array, vol: Volume, ro: jax.Array, rd: jax.Array,
     fallback = ro + (u3 * tmax)[..., None] * rd
     pos = jnp.where(hit[..., None], pos, fallback)
     return pos, exited, state
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (segment-batched) tracking — the TPU fast path
+# ---------------------------------------------------------------------------
+#
+# The sequential loops above replicate the reference's per-thread control
+# flow exactly, but on TPU each of their <=128 iterations issues a full-batch
+# random gather into the density grid, serialized by the loop-carried RNG
+# state.  The fast path restructures the SAME estimators:
+#   1. derive a per-lane SEED from the RNG state (advancing the chain once),
+#      then generate step uniforms STATELESSLY as hash(seed, step_index) —
+#      results are independent of batch shape, sharding and segment size
+#      (a batch-wide early exit must not change per-lane randomness);
+#   2. cumsum the exponential free-flight steps -> all candidate positions;
+#   3. ONE vectorized density gather per 32-step segment;
+#   4. resolve hits/exits with argmax over the segment,
+# with a while_loop over segments for early exit once every lane resolved.
+# Estimators and statistics are unchanged (same majorant, same acceptance
+# law); only the RNG stream construction differs from the sequential
+# version, which tests cover statistically.
+
+def _track_seed(state):
+    """Split one indexed-draw seed off the per-lane chain: the chain
+    advances exactly one step per track call, so downstream sequential
+    consumers stay deterministic per lane."""
+    seed = jax.lax.bitcast_convert_type(state, jnp.uint32)
+    _, state = rng.uniform(state)
+    return seed, state
+
+
+def _indexed_draws(seed, k0, n: int, salt: int):
+    """Stateless uniforms: u_k = floatConstruct(hash(seed ^ hash(salt + k)))
+    for k in [k0, k0+n). seed: (...,) uint32 -> (..., n) float32."""
+    ks = k0 + jnp.arange(n, dtype=jnp.uint32)
+    hk = rng.hash_u32(jnp.uint32(salt) + ks)
+    return rng.float_construct(rng.hash_u32(seed[..., None] ^ hk))
+
+
+def ratio_track_fast(state, vol: Volume, start, end, max_steps: int = 128,
+                     segment: int = 32, active=None):
+    """Segment-vectorized RatioTrack. Same signature/semantics as
+    ratio_track; RNG consumption is uniform across lanes (unlike the
+    sequential version), and inactive lanes resolve immediately so they
+    never prolong the segment loop."""
+    inv_max = 1.0 / vol.density_factor
+    seg_count = max(1, (max_steps + segment - 1) // segment)
+    seg_len = segment if seg_count > 1 else max_steps
+    seg_vec = end - start
+    tmax = jnp.linalg.norm(seg_vec, axis=-1)
+    direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
+    if active is not None:
+        tmax = jnp.where(active, tmax, 0.0)
+    seed, state = _track_seed(state)
+
+    def seg_body(carry):
+        i, t_last, trans = carry
+        u = _indexed_draws(seed, i.astype(jnp.uint32) * seg_len, seg_len,
+                           salt=0x9E3779B9)
+        steps = -jnp.log1p(-u) * inv_max
+        t = t_last[..., None] + jnp.cumsum(steps, axis=-1)
+        pos = start[..., None, :] + t[..., None] * direction[..., None, :]
+        dens = get_density(vol, pos)
+        factors = jnp.where(t < tmax[..., None],
+                            1.0 - dens * inv_max, 1.0)
+        trans = trans * jnp.prod(factors, axis=-1)
+        return i + 1, t[..., -1], trans
+
+    def seg_cond(carry):
+        i, t_last, _ = carry
+        return (i < seg_count) & jnp.any(t_last < tmax)
+
+    t0 = jnp.zeros_like(tmax)
+    trans0 = jnp.ones_like(tmax)
+    _, _, trans = jax.lax.while_loop(
+        seg_cond, seg_body, (jnp.int32(0), t0, trans0))
+    return trans, state
+
+
+def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
+                     segment: int = 32, active=None):
+    """Segment-vectorized DeltaTrack. Same contract as delta_track:
+    (pos, volume_exit, state) with the random fallback point for non-hit
+    lanes (path_trace.glsl:173); inactive lanes resolve immediately."""
+    inv_max = 1.0 / vol.density_factor
+    _, exit_pt, _ = find_entry_exit(vol, ro, rd)
+    tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
+    if active is not None:
+        tmax = jnp.where(active, tmax, 0.0)
+    seg_count = max(1, (max_steps + segment - 1) // segment)
+    seg_len = segment if seg_count > 1 else max_steps
+    seed, state = _track_seed(state)
+
+    def seg_body(carry):
+        i, t_last, resolved, hit, exited, t_hit = carry
+        k0 = i.astype(jnp.uint32) * seg_len
+        u1 = _indexed_draws(seed, k0, seg_len, salt=0x85EBCA6B)
+        u2 = _indexed_draws(seed, k0, seg_len, salt=0xC2B2AE35)
+        t = t_last[..., None] + jnp.cumsum(-jnp.log1p(-u1) * inv_max,
+                                           axis=-1)
+        pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
+        dens = get_density(vol, pos)
+        cross = t >= tmax[..., None]
+        accept = (dens * inv_max > u2) & ~cross
+        event = accept | cross
+        first = jnp.argmax(event, axis=-1)
+        has_event = jnp.any(event, axis=-1)
+        ev_accept = jnp.take_along_axis(
+            accept, first[..., None], axis=-1)[..., 0]
+        ev_t = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        new = ~resolved & has_event
+        hit = hit | (new & ev_accept)
+        exited = exited | (new & ~ev_accept)
+        t_hit = jnp.where(new & ev_accept, ev_t, t_hit)
+        resolved = resolved | has_event
+        return (i + 1, t[..., -1], resolved, hit, exited, t_hit)
+
+    def seg_cond(carry):
+        i, _, resolved, *_ = carry
+        return (i < seg_count) & ~jnp.all(resolved)
+
+    f0 = jnp.zeros(tmax.shape, bool)
+    t0 = jnp.zeros_like(tmax)
+    _, _, _, hit, exited, t_hit = jax.lax.while_loop(
+        seg_cond, seg_body,
+        (jnp.int32(0), t0, f0, f0, f0, t0))
+
+    u3 = _indexed_draws(seed, jnp.uint32(0), 1, salt=0x27D4EB2F)[..., 0]
+    t_final = jnp.where(hit, t_hit, u3 * tmax)
+    pos = ro + t_final[..., None] * rd
+    return pos, exited, state

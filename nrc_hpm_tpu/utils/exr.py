@@ -205,7 +205,60 @@ def write_exr(path: str, img: np.ndarray, compress: bool = True):
 
 
 def read_any_hdr(path: str) -> np.ndarray:
-    """Load an HDR image (currently EXR only) as (H, W, >=3) float32."""
+    """Load an HDR image (EXR or Radiance .hdr) as (H, W, >=3) float32."""
     if path.lower().endswith(".exr"):
         return read_exr_rgba(path)
+    if path.lower().endswith(".hdr"):
+        return read_radiance_hdr(path)
     raise NotImplementedError(f"unsupported HDR format: {path}")
+
+
+def read_radiance_hdr(path: str) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) reader — the stbi_loadf path the
+    reference's HDR env maps would use (src/read_file.cpp:95).  Supports
+    the common -Y H +X W layout with new-style RLE scanlines."""
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"#?"):
+            raise ValueError("not a Radiance HDR file")
+        # header lines until blank
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        dims = f.readline().split()
+        if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+            raise NotImplementedError(f"unsupported HDR layout {dims}")
+        h, w = int(dims[1]), int(dims[3])
+        data = np.frombuffer(f.read(), np.uint8)
+
+    out = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (data[pos] == 2 and data[pos + 1] == 2
+                and (int(data[pos + 2]) << 8 | int(data[pos + 3])) == w):
+            # new-style RLE: per-channel runs
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(data[pos])
+                    pos += 1
+                    if count > 128:  # run
+                        out[y, x:x + count - 128, c] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:  # literal
+                        out[y, x:x + count, c] = data[pos:pos + count]
+                        pos += count
+                        x += count
+        else:  # flat scanline
+            row = data[pos:pos + w * 4].reshape(w, 4)
+            out[y] = row
+            pos += w * 4
+
+    rgbe = out.astype(np.float32)
+    exp = np.ldexp(1.0, out[..., 3].astype(np.int32) - 136)  # 2^(e-128-8)
+    rgb = rgbe[..., :3] * exp[..., None]
+    rgb[out[..., 3] == 0] = 0.0
+    return rgb

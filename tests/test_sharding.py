@@ -1,0 +1,95 @@
+import jax
+import numpy as np
+import pytest
+
+from nrc_hpm_tpu.camera import Camera
+from nrc_hpm_tpu.config import AppConfig, EncodingConfig, SceneConfig
+
+
+def _cfg(**kw):
+    base = dict(
+        scene=SceneConfig.preset(4),
+        render_width=64, render_height=32,
+        nn_width=32, nn_depth=2,
+        encoding=EncodingConfig(n_levels=4, log2_hashmap_size=12),
+        log2_infer_batch_size=11, log2_train_batch_size=6,
+        train_batch_count=2, train_ray_length=4)
+    base.update(kw)
+    return AppConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from nrc_hpm_tpu.parallel.sharding import make_mesh
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    return make_mesh(8)
+
+
+def test_sharded_step_runs_and_stays_finite(mesh8):
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer
+    r = ShardedNrcRenderer(_cfg(), mesh=mesh8)
+    cam = Camera.reference_camera(aspect=2.0)
+    state = r.init_state(0)
+    for _ in range(2):
+        state = r.step(state, cam, train=True)
+    img = np.asarray(state.image)
+    assert img.shape == (32, 64, 4)
+    assert np.isfinite(img).all()
+    assert int(state.nrc.step) == 4
+    assert np.isfinite(float(state.nrc.loss))
+    # per-shard ring cursors advanced
+    heads = np.asarray(state.ring.head)
+    tails = np.asarray(state.ring.tail)
+    assert heads.shape == (8,)
+    assert (heads + tails > 0).all()
+
+
+def test_sharded_matches_single_chip_frozen(mesh8):
+    """Frozen-cache frame: the sharded render must reproduce the single-chip
+    image (identical per-pixel RNG streams; no ring/training involved)."""
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer
+    from nrc_hpm_tpu.renderer import NrcRenderer
+    cfg = _cfg()
+    single = NrcRenderer(cfg)
+    sharded = ShardedNrcRenderer(cfg, mesh=mesh8)
+    cam = Camera.reference_camera(aspect=2.0)
+    img_a = np.asarray(
+        single.step(single.init_state(7), cam, train=False).image)
+    img_b = np.asarray(
+        sharded.step(sharded.init_state(7), cam, train=False).image)
+    assert np.allclose(img_a, img_b, atol=2e-5), \
+        np.abs(img_a - img_b).max()
+
+
+def test_sharded_training_close_to_single_chip(mesh8):
+    """One training frame: psum-averaged sharded grads equal the global
+    batch gradient up to fp reassociation, so parameters track closely.
+    (Ring pops differ — per-shard rings — so later frames may diverge for
+    non-scattered train pixels; frame 1 has none popped-trained yet.)"""
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer
+    from nrc_hpm_tpu.renderer import NrcRenderer
+    cfg = _cfg()
+    single = NrcRenderer(cfg)
+    sharded = ShardedNrcRenderer(cfg, mesh=mesh8)
+    cam = Camera.reference_camera(aspect=2.0)
+    st_a = single.init_state(7)
+    st_b = sharded.init_state(7)
+    w0 = np.asarray(st_a.nrc.params["mlp"]["layers"][0]).copy()
+    sa = single.step(st_a, cam, train=True)
+    sb = sharded.step(st_b, cam, train=True)
+    wa = np.asarray(sa.nrc.params["mlp"]["layers"][0])
+    wb = np.asarray(sb.nrc.params["mlp"]["layers"][0])
+    # Adam's first steps are sign-like (v ~ 0), so fp reassociation between
+    # the global batch and the psum-of-shard-means amplifies to lr-scale
+    # deltas in weights whose gradient is near zero.  Check the UPDATES are
+    # strongly correlated instead of bitwise-close.
+    da, db = (wa - w0).ravel(), (wb - w0).ravel()
+    corr = np.dot(da, db) / (np.linalg.norm(da) * np.linalg.norm(db))
+    assert corr > 0.95, corr
+    assert np.abs(wa - wb).max() < 5 * 0.01 * cfg.train_batch_count
+
+
+def test_mesh_size_validation():
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer, make_mesh
+    with pytest.raises(ValueError):
+        ShardedNrcRenderer(_cfg(render_height=30), mesh=make_mesh(8))

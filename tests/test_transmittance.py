@@ -97,3 +97,64 @@ def test_rng_state_divergence_masked():
     _, _, s1 = delta_track(s0, vol, ro, rd, active=active)
     assert np.asarray(s1)[1] == np.float32(0.4)
     assert np.asarray(s1)[0] != np.float32(0.4)
+
+
+# ---------------------------------------------------------------------------
+# fast (segment-vectorized) vs sequential tracking equivalence
+# ---------------------------------------------------------------------------
+
+def test_ratio_track_fast_matches_sequential_stats(small_volume):
+    from nrc_hpm_tpu.transmittance import ratio_track_fast
+    n = 20000
+    sky = np.asarray(small_volume.sky_size)
+    start = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, 0, 0]), (n, 3))
+    end = jnp.broadcast_to(jnp.asarray([sky[0] / 2, 1.0, 2.0]), (n, 3))
+    t_seq, _ = ratio_track(_states(n), small_volume, start, end)
+    t_fast, _ = ratio_track_fast(_states(n, 0.77), small_volume, start, end)
+    a, b = float(np.mean(np.asarray(t_seq))), float(np.mean(np.asarray(t_fast)))
+    assert abs(a - b) < 0.02, (a, b)
+
+
+def test_delta_track_fast_matches_sequential_stats():
+    from nrc_hpm_tpu.transmittance import delta_track_fast
+    vol = Volume.homogeneous_cube(4, 1.0, density_factor=0.15, g=0.0)
+    sky = np.asarray(vol.sky_size)
+    n = 30000
+    ro = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    p1, e1, _ = delta_track(_states(n), vol, ro, rd)
+    p2, e2, _ = delta_track_fast(_states(n, 0.9), vol, ro, rd)
+    # same exit probability and same truncated free-path mean
+    assert abs(np.asarray(e1).mean() - np.asarray(e2).mean()) < 0.015
+    d1 = np.linalg.norm(np.asarray(p1) - np.asarray(ro), axis=-1)
+    d2 = np.linalg.norm(np.asarray(p2) - np.asarray(ro), axis=-1)
+    m1 = d1[~np.asarray(e1)].mean()
+    m2 = d2[~np.asarray(e2)].mean()
+    assert abs(m1 - m2) < 0.5, (m1, m2)
+
+
+def test_fast_inactive_lanes_resolve_immediately():
+    from nrc_hpm_tpu.transmittance import delta_track_fast, ratio_track_fast
+    vol = Volume.homogeneous_cube(4, 1.0, 0.5, 0.0)
+    ro = jnp.zeros((4, 3), jnp.float32)
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (4, 3))
+    active = jnp.asarray([True, False, True, False])
+    pos, exited, _ = delta_track_fast(
+        jnp.full((4,), 0.3, jnp.float32), vol, ro, rd, active=active)
+    assert np.isfinite(np.asarray(pos)).all()
+    t, _ = ratio_track_fast(jnp.full((4,), 0.3, jnp.float32), vol, ro,
+                            ro + rd * 50, active=active)
+    # inactive lanes report transmittance 1 (no factors applied)
+    assert np.asarray(t)[1] == 1.0 and np.asarray(t)[3] == 1.0
+
+
+def test_fast_vacuum_behaviour():
+    from nrc_hpm_tpu.transmittance import delta_track_fast, ratio_track_fast
+    vol = Volume.homogeneous_cube(4, 0.0, 0.6, 0.0)
+    n = 64
+    ro = jnp.zeros((n, 3), jnp.float32)
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    _, exited, _ = delta_track_fast(_states(n), vol, ro, rd)
+    assert np.asarray(exited).all()
+    t, _ = ratio_track_fast(_states(n), vol, ro, ro + rd * 10)
+    assert np.allclose(np.asarray(t), 1.0)
