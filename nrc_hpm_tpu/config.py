@@ -145,6 +145,15 @@ class AppConfig:
     mc_path_length: int = 32
     # Compute dtype for the MLP matmuls; path-trace math stays float32.
     mlp_dtype: str = "bfloat16"
+    # Ray-batch chunking: the per-pixel trace runs as lax.map over this many
+    # chunks so chunks whose rays all miss (or resolve early) skip their
+    # tracking segments entirely — the TPU analog of not launching warps
+    # for dead pixels. 1 disables. Must divide the pixel count.
+    trace_chunks: int = 16
+    # Skip NRC inference for batches with no scattered samples — the
+    # reference's NrcInferFilter (prep_infer_rays.comp:44-45,
+    # NeuralRadianceCache.cu:134-145) rebuilt as a lax.cond per batch.
+    infer_filter: bool = True
 
     # ------------------------------------------------------------------
     @property

@@ -28,10 +28,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from .lights import LightFlags, Lights, sample_env_map
 from .sampling import hg_phase, new_ray_dir
-from .transmittance import (delta_track, delta_track_fast, ratio_track,
-                            ratio_track_fast)
+from .transmittance import (delta_track, delta_track_fast, delta_track_pw,
+                            ratio_track, ratio_track_fast, ratio_track_pw)
 from .utils import rng
 from .volume import Volume, find_entry_exit
 
@@ -42,17 +44,34 @@ class TraceParams:
 
     flags: LightFlags
     max_track_steps: int = 128
-    # segment-vectorized tracking (one big gather per 32-step block) vs the
-    # sequential per-step loops that mirror the reference's control flow
-    fast: bool = True
+    # tracking implementation:
+    #   "pw"   piecewise-majorant events in optical-depth space (fastest;
+    #          empty space costs nothing)
+    #   "fast" segment-vectorized global-majorant tracking
+    #   "seq"  per-step loops mirroring the reference's control flow
+    mode: str = "pw"
+    # events/steps per vectorized segment
+    segment: int = 16
+    # coarse majorant samples per track call (pw mode)
+    coarse: int = 32
 
     @property
     def ratio_track(self):
-        return ratio_track_fast if self.fast else ratio_track
+        if self.mode == "pw":
+            return functools.partial(ratio_track_pw, segment=self.segment,
+                                     coarse=self.coarse)
+        if self.mode == "fast":
+            return functools.partial(ratio_track_fast, segment=self.segment)
+        return ratio_track
 
     @property
     def delta_track(self):
-        return delta_track_fast if self.fast else delta_track
+        if self.mode == "pw":
+            return functools.partial(delta_track_pw, segment=self.segment,
+                                     coarse=self.coarse)
+        if self.mode == "fast":
+            return functools.partial(delta_track_fast, segment=self.segment)
+        return delta_track
 
 
 def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,

@@ -96,36 +96,48 @@ def _corner_offsets(n_dims: int) -> np.ndarray:
 def hash_grid_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec
                      ) -> jax.Array:
     """x: (..., n_dims) positions (nominally in [0,1]) ->
-    (..., n_levels*n_features) trilinearly interpolated features."""
-    offsets = spec.level_offsets
+    (..., n_levels*n_features) trilinearly interpolated features.
+
+    All levels' corner indices are computed together and served by a
+    SINGLE row gather into the concatenated table — one big gather beats
+    n_levels small ones on TPU (the gather rate is per row, so the two
+    features of a corner cost one lookup)."""
+    L = spec.n_levels
     corners = jnp.asarray(_corner_offsets(spec.n_dims))  # (2^d, d)
-    feats = []
-    for l in range(spec.n_levels):
-        scale = spec.level_scale(l)
-        res = spec.level_resolution(l)
-        xs = x * scale + 0.5
-        x0 = jnp.floor(xs)
-        w = xs - x0
-        x0 = x0.astype(jnp.int32)
-        cpos = x0[..., None, :] + corners  # (..., 2^d, d)
-        if spec.level_is_dense(l):
-            cpos = jnp.clip(cpos, 0, res - 1)
-            stride = jnp.asarray(
-                [res ** i for i in range(spec.n_dims)], jnp.int32)
-            idx = jnp.sum(cpos * stride, axis=-1)
-        else:
-            h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-            for d in range(1, spec.n_dims):
-                h = h ^ (cpos[..., d].astype(jnp.uint32)
-                         * jnp.uint32(_PRIMES[d % 3]))
-            idx = (h % jnp.uint32(spec.level_params(l))).astype(jnp.int32)
-        fv = jnp.take(table[offsets[l]:offsets[l + 1]], idx, axis=0)
-        # trilinear weights: prod over dims of (w or 1-w)
-        cw = jnp.where(corners[..., :].astype(bool),
-                       w[..., None, :], 1.0 - w[..., None, :])
-        weight = jnp.prod(cw, axis=-1)
-        feats.append(jnp.sum(fv * weight[..., None], axis=-2))
-    return jnp.concatenate(feats, axis=-1)
+    scales = jnp.asarray([spec.level_scale(l) for l in range(L)],
+                         jnp.float32)
+    res = jnp.asarray([spec.level_resolution(l) for l in range(L)],
+                      jnp.int32)
+    dense = jnp.asarray([spec.level_is_dense(l) for l in range(L)], bool)
+    params = jnp.asarray([spec.level_params(l) for l in range(L)],
+                         jnp.uint32)
+    offsets = jnp.asarray(spec.level_offsets[:-1], jnp.int32)
+
+    xs = x[..., None, :] * scales[:, None] + 0.5          # (..., L, d)
+    x0 = jnp.floor(xs)
+    w = xs - x0                                           # (..., L, d)
+    cpos = x0.astype(jnp.int32)[..., None, :] + corners   # (..., L, 2^d, d)
+
+    # dense path: strided linear index with clamped coords
+    cc = jnp.clip(cpos, 0, (res - 1)[:, None, None])
+    stride1 = res
+    stride2 = res * res
+    lin = (cc[..., 0] + cc[..., 1] * stride1[:, None]
+           + cc[..., 2] * stride2[:, None])
+    # hashed path: prime-XOR hash modulo the level's table size
+    h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    for d in range(1, spec.n_dims):
+        h = h ^ (cpos[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d % 3]))
+    hashed = (h % params[:, None]).astype(jnp.int32)
+
+    idx = jnp.where(dense[:, None], lin, hashed) + offsets[:, None]
+    fv = jnp.take(table, idx, axis=0)                     # (..., L, 2^d, F)
+
+    cw = jnp.where(corners.astype(bool), w[..., None, :],
+                   1.0 - w[..., None, :])                 # (..., L, 2^d, d)
+    weight = jnp.prod(cw, axis=-1)
+    feats = jnp.sum(fv * weight[..., None], axis=-2)      # (..., L, F)
+    return feats.reshape(*x.shape[:-1], L * spec.n_features)
 
 
 def one_blob_encode(x: jax.Array, n_bins: int) -> jax.Array:

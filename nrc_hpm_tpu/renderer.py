@@ -72,7 +72,7 @@ class McRenderer:
         self._step = jax.jit(partial(
             _mc_step, params=self.params, width=self.width,
             height=self.height, path_length=self.path_length,
-            blend=self.blend))
+            blend=self.blend, chunks=cfg.trace_chunks))
 
     def init_state(self, seed: int = 0) -> McState:
         return McState(
@@ -93,20 +93,28 @@ class McRenderer:
 
 def _mc_step(state: McState, camera: Camera, vol: Volume, lights: Lights,
              *, params: TraceParams, width: int, height: int,
-             path_length: int, blend: bool) -> McState:
+             path_length: int, blend: bool, chunks: int = 1) -> McState:
     key, sub = jax.random.split(state.key)
     frame_rand = rng.frame_random(sub)
 
     ro, rd, frag_uv = pixel_rays(camera, width, height)
     rng_state = rng.init_state(frag_uv, frame_rand)
-    ro_b = jnp.broadcast_to(ro, rd.shape)
+    n_pix = height * width
+    flat_rd = rd.reshape(n_pix, 3)
+    flat_ro = jnp.broadcast_to(ro, flat_rd.shape)
 
-    miss = primary_miss_mask(vol, ro_b, rd)
-    res = trace_fixed(rng_state, vol, lights, params, ro_b, rd,
-                      path_length, active=~miss)
-    did_scatter = res["did_scatter"]
+    def mc_chunk(s, o, d):
+        miss = primary_miss_mask(vol, o, d)
+        res = trace_fixed(s, vol, lights, params, o, d,
+                          path_length, active=~miss)
+        return res["did_scatter"], res["radiance"]
+
+    did_scatter, radiance = _map_chunks(
+        mc_chunk, chunks, rng_state.reshape(n_pix), flat_ro, flat_rd)
+    did_scatter = did_scatter.reshape(height, width)
+    radiance = radiance.reshape(height, width, 3)
     env_color = sample_env_map(lights.env, rd)
-    rgb = jnp.where(did_scatter[..., None], res["radiance"], env_color)
+    rgb = jnp.where(did_scatter[..., None], radiance, env_color)
     out = jnp.concatenate(
         [rgb, did_scatter[..., None].astype(jnp.float32)], axis=-1)
 
@@ -123,6 +131,22 @@ def _mc_step(state: McState, camera: Camera, vol: Volume, lights: Lights,
 # ---------------------------------------------------------------------------
 # Shared primary-trace used by the NRC renderer (nrc/gen_rays.comp main)
 # ---------------------------------------------------------------------------
+
+def _map_chunks(fn, n_chunks: int, *arrays):
+    """Run ``fn`` over leading-axis chunks with lax.map.
+
+    Chunks whose lanes all resolve immediately (e.g. every ray misses the
+    volume) cost ~nothing: the tracking while-loops see no active lane and
+    never issue a gather.  Results are bitwise identical to the unchunked
+    call because the fast-path RNG is stateless per lane."""
+    if n_chunks <= 1 or arrays[0].shape[0] % n_chunks:
+        return fn(*arrays)
+    resh = tuple(a.reshape(n_chunks, a.shape[0] // n_chunks, *a.shape[1:])
+                 for a in arrays)
+    out = jax.lax.map(lambda args: fn(*args), resh)
+    return jax.tree.map(
+        lambda o: o.reshape(o.shape[0] * o.shape[1], *o.shape[2:]), out)
+
 
 def primary_pass(rng_state, vol, lights, params: TraceParams, cfg: AppConfig,
                  ro, rd):
@@ -240,6 +264,35 @@ class NrcRenderer:
             nrc=self.cache.init_state(sub),
             key=key)
 
+    def _infer_filtered(self, nrc_state, x5, scat):
+        """Batched inference with empty-batch skip — the reference's
+        NrcInferFilter: batches of ``infer_batch_size`` whose pixels all
+        missed are skipped (their output stays zero, matching the zero-fill
+        of the infer buffers in NrcHpmRenderer.cu:1996-2000)."""
+        n = x5.shape[0]
+        b = min(self.cfg.infer_batch_size, n)
+        if not self.cfg.infer_filter or n == b:
+            return self.cache.infer(nrc_state, x5)
+        nb = -(-n // b)
+        pad = nb * b - n
+        if pad:
+            # the reference pads the infer buffer to whole batches too
+            # (inferCount must be a multiple of 16, NeuralRadianceCache.cu:52)
+            x5 = jnp.concatenate(
+                [x5, jnp.zeros((pad, 5), x5.dtype)], axis=0)
+            scat = jnp.concatenate(
+                [scat, jnp.zeros((pad,), bool)], axis=0)
+
+        def one(args):
+            x5_c, scat_c = args
+            return jax.lax.cond(
+                jnp.any(scat_c),
+                lambda: self.cache.infer(nrc_state, x5_c),
+                lambda: jnp.zeros((b, 3), jnp.float32))
+
+        out = jax.lax.map(one, (x5.reshape(nb, b, 5), scat.reshape(nb, b)))
+        return out.reshape(nb * b, 3)[:n]
+
     def step(self, state: NrcRenderState, camera: Camera,
              train: bool = True) -> NrcRenderState:
         fn = self._step_train if train else self._step_frozen
@@ -252,16 +305,23 @@ class NrcRenderer:
         key, sub = jax.random.split(state.key)
         frame_rand = rng.frame_random(sub)
 
-        # 1-2: primary rays + NRC queries ------------------------------
+        # 1-2: primary rays + NRC queries (chunked: all-miss chunks skip)
         ro, rd, frag_uv = pixel_rays(camera, self.width, self.height)
         rng_state = rng.init_state(frag_uv, frame_rand)
-        ro_b = jnp.broadcast_to(ro, rd.shape)
-        prim = primary_pass(rng_state, vol, lights, self.params, cfg,
-                            ro_b, rd)
+        n_pix = self.height * self.width
+        flat_rd = rd.reshape(n_pix, 3)
+        flat_ro = jnp.broadcast_to(ro, flat_rd.shape)
+        prim = _map_chunks(
+            lambda s, o, d: primary_pass(s, vol, lights, self.params, cfg,
+                                         o, d),
+            cfg.trace_chunks, rng_state.reshape(n_pix), flat_ro, flat_rd)
 
-        # 3: cache inference over every pixel (EMA params) -------------
+        # 3: cache inference with the per-batch skip filter ------------
         x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])
-        nrc_rgb = self.cache.infer(state.nrc, x5.reshape(-1, 5))
+        nrc_rgb = self._infer_filtered(state.nrc, x5, prim["did_scatter"])
+
+        prim = {k: v.reshape(self.height, self.width, *v.shape[1:])
+                for k, v in prim.items() if k != "state"}
         nrc_rgb = nrc_rgb.reshape(self.height, self.width, 3)
 
         # 6: composite + blend (nrc/render.comp:23-41) -----------------

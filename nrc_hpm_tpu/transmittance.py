@@ -248,3 +248,148 @@ def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
     t_final = jnp.where(hit, t_hit, u3 * tmax)
     pos = ro + t_final[..., None] * rd
     return pos, exited, state
+
+
+# ---------------------------------------------------------------------------
+# Piecewise-majorant tracking — the TPU speed-of-light path
+# ---------------------------------------------------------------------------
+#
+# The _fast variants above still draw free flights against the GLOBAL
+# majorant (density_factor), so rays burn a fine-grid gather on every null
+# collision in empty space — and 78% of the cloud's bounding box is empty.
+# This path samples tracking events in MAJORANT OPTICAL DEPTH space
+# instead (non-homogeneous Woodcock tracking):
+#
+#   1. a cheap coarse profile of the dilated macrocell majorant field is
+#      sampled at `coarse` regular points along the segment (served by the
+#      Pallas small-table kernel at VPU rate — ops/macro_gather.py);
+#   2. events arrive at cumulative Exp(1) depths; inverting the piecewise-
+#      linear cumulative depth maps them to positions.  Empty intervals
+#      have zero depth, so NO events — and no fine gathers — ever land
+#      in empty space;
+#   3. acceptance testing / transmittance factors use the LOCAL majorant,
+#      keeping the estimators exactly unbiased (sigma_local dominates the
+#      density by construction of the dilated macro grid).
+#
+# The estimators match the reference's delta/ratio tracking statistically;
+# the event cap plays the role of the reference's 128-step cap.
+
+from .volume import macro_sigma  # noqa: E402
+
+
+def _coarse_profile(vol: Volume, start, direction, tmax, C: int):
+    """sigma (..., C) per interval, right-edge cumulative depth (..., C),
+    interval length h (...,). Interval i covers [i*h, (i+1)*h) with the
+    majorant = max of the dilated field at BOTH endpoints: every interval
+    point is within h/2 of an endpoint, so domination holds for interval
+    lengths up to two macrocell edges."""
+    h = tmax / C
+    ts = jnp.arange(C + 1, dtype=jnp.float32) * h[..., None]
+    pos = start[..., None, :] + ts[..., None] * direction[..., None, :]
+    s = macro_sigma(vol, pos)
+    sigma = jnp.maximum(s[..., :-1], s[..., 1:])
+    dcum = jnp.cumsum(sigma * h[..., None], axis=-1)
+    return sigma, dcum, h
+
+
+def _map_events(E, sigma, dcum, h):
+    """Cumulative event depths E (..., S) -> (t, sigma_at, beyond)."""
+    C = sigma.shape[-1]
+    # interval index = #right-edges <= E  (fused comparison reduction)
+    i = jnp.sum((E[..., None] >= dcum[..., None, :]).astype(jnp.int32),
+                axis=-1)
+    beyond = i >= C
+    i_cl = jnp.minimum(i, C - 1)
+    onehot = jax.nn.one_hot(i_cl, C, dtype=jnp.float32)
+    dleft_all = jnp.concatenate(
+        [jnp.zeros_like(dcum[..., :1]), dcum[..., :-1]], axis=-1)
+    dleft = jnp.einsum("...sc,...c->...s", onehot, dleft_all)
+    sig = jnp.einsum("...sc,...c->...s", onehot, sigma)
+    t = (i_cl.astype(jnp.float32) * h[..., None]
+         + (E - dleft) / jnp.maximum(sig, 1e-12))
+    return t, jnp.maximum(sig, 1e-12), beyond
+
+
+def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
+                   segment: int = 16, coarse: int = 32, active=None):
+    """Piecewise-majorant RatioTrack: same contract as ratio_track."""
+    seg_vec = end - start
+    tmax = jnp.linalg.norm(seg_vec, axis=-1)
+    direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
+    if active is not None:
+        tmax = jnp.where(active, tmax, 0.0)
+    seed, state = _track_seed(state)
+    sigma, dcum, h = _coarse_profile(vol, start, direction, tmax, coarse)
+    dtot = dcum[..., -1]
+    seg_count = max(1, (max_steps + segment - 1) // segment)
+
+    def body(carry):
+        i, e_last, trans = carry
+        u = _indexed_draws(seed, i.astype(jnp.uint32) * segment, segment,
+                           salt=0x9E3779B9)
+        E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u), axis=-1)
+        t, sig, beyond = _map_events(E, sigma, dcum, h)
+        pos = start[..., None, :] + t[..., None] * direction[..., None, :]
+        dens = get_density(vol, pos)
+        factors = jnp.where(beyond, 1.0, 1.0 - dens / sig)
+        trans = trans * jnp.prod(factors, axis=-1)
+        return i + 1, E[..., -1], trans
+
+    def cond(carry):
+        i, e_last, _ = carry
+        return (i < seg_count) & jnp.any(e_last < dtot)
+
+    t0 = jnp.zeros_like(tmax)
+    _, _, trans = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, jnp.ones_like(tmax)))
+    return trans, state
+
+
+def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
+                   segment: int = 16, coarse: int = 32, active=None):
+    """Piecewise-majorant DeltaTrack: same contract as delta_track."""
+    _, exit_pt, _ = find_entry_exit(vol, ro, rd)
+    tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
+    if active is not None:
+        tmax = jnp.where(active, tmax, 0.0)
+    seed, state = _track_seed(state)
+    sigma, dcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
+    dtot = dcum[..., -1]
+    seg_count = max(1, (max_steps + segment - 1) // segment)
+
+    def body(carry):
+        i, e_last, resolved, hit, exited, t_hit = carry
+        k0 = i.astype(jnp.uint32) * segment
+        u1 = _indexed_draws(seed, k0, segment, salt=0x85EBCA6B)
+        u2 = _indexed_draws(seed, k0, segment, salt=0xC2B2AE35)
+        E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u1), axis=-1)
+        t, sig, beyond = _map_events(E, sigma, dcum, h)
+        pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
+        dens = get_density(vol, pos)
+        accept = ~beyond & (dens / sig > u2)
+        event = accept | beyond
+        first = jnp.argmax(event, axis=-1)
+        has_event = jnp.any(event, axis=-1)
+        ev_accept = jnp.take_along_axis(
+            accept, first[..., None], axis=-1)[..., 0]
+        ev_t = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        new = ~resolved & has_event
+        hit = hit | (new & ev_accept)
+        exited = exited | (new & ~ev_accept)
+        t_hit = jnp.where(new & ev_accept, ev_t, t_hit)
+        resolved = resolved | has_event
+        return (i + 1, E[..., -1], resolved, hit, exited, t_hit)
+
+    def cond(carry):
+        i, _, resolved, *_ = carry
+        return (i < seg_count) & ~jnp.all(resolved)
+
+    f0 = jnp.zeros(tmax.shape, bool)
+    t0 = jnp.zeros_like(tmax)
+    _, _, _, hit, exited, t_hit = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, f0, f0, f0, t0))
+
+    u3 = _indexed_draws(seed, jnp.uint32(0), 1, salt=0x27D4EB2F)[..., 0]
+    t_final = jnp.where(hit, t_hit, u3 * tmax)
+    pos = ro + t_final[..., None] * rd
+    return pos, exited, state

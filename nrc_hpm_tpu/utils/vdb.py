@@ -356,10 +356,27 @@ def _read_header(f: BinaryIO):
     return version, file_meta, descriptors
 
 
-def load_vdb(path: str, grid_name: Optional[str] = None) -> VdbGrid:
+def load_vdb(path: str, grid_name: Optional[str] = None,
+             prefer_native: bool = True) -> VdbGrid:
     """Load the first float grid (or the named grid) from ``path`` as a dense
     array over its ``file_bbox`` metadata, matching vk::Texture3D::FromVDB
-    (reference: src/Texture3D.cpp:12-82)."""
+    (reference: src/Texture3D.cpp:12-82).
+
+    Uses the native decoder (native/libnrcio.so, bitwise-identical output)
+    when built; falls back to this pure-Python parser otherwise.
+    """
+    if prefer_native and grid_name is None:
+        try:
+            from .native import vdb_load_native
+            res = vdb_load_native(path)
+            if res is not None:
+                arr, bbox_min, voxel = res
+                bbox_max = bbox_min + np.array(arr.shape, np.int32) - 1
+                return VdbGrid(name="density", metadata={},
+                               bbox_min=bbox_min, bbox_max=bbox_max,
+                               data=arr, voxel_size=voxel)
+        except ValueError:
+            pass  # fall through to the Python parser
     with open(path, "rb") as f:
         version, _file_meta, descriptors = _read_header(f)
         chosen = None

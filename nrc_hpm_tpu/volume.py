@@ -30,12 +30,24 @@ MIN_RAY_DISTANCE = 0.125
 WORLD_SCALE = 107.5
 
 
+# Macrocell edge in voxels for the majorant acceleration grid.
+MACRO_CELL = 8
+
+
 @flax.struct.dataclass
 class Volume:
     """Density volume pytree. ``grid`` is uint8-quantized density indexed
-    [x, y, z]; ``sky_size`` is the world-space box edge lengths."""
+    [x, y, z]; ``sky_size`` is the world-space box edge lengths.
+
+    ``macro`` is a dilated per-8^3-macrocell MAX of the (quantized,
+    normalized) density — a conservative local majorant field used by the
+    piecewise tracking fast path (new TPU-side acceleration; the reference
+    uses the global VOLUME_DENSITY_FACTOR majorant, path_trace.glsl:26).
+    The 3x3x3 dilation makes a sample at any point dominate the true
+    density everywhere within one macrocell edge of it."""
 
     grid: jax.Array            # (X, Y, Z) uint8
+    macro: jax.Array           # (Mx*My*Mz,) float32 flat dilated max density
     sky_size: jax.Array        # (3,) float32
     density_factor: jax.Array  # () float32 — VOLUME_DENSITY_FACTOR
     g: jax.Array               # () float32 — HG anisotropy VOLUME_G
@@ -43,6 +55,10 @@ class Volume:
     @property
     def dims(self):
         return self.grid.shape
+
+    @property
+    def macro_dims(self):
+        return tuple(-(-d // MACRO_CELL) for d in self.grid.shape)
 
     @staticmethod
     def from_dense(data: np.ndarray, density_factor: float, g: float,
@@ -55,13 +71,16 @@ class Volume:
         data = np.asarray(data, np.float32)
         if quantize:
             grid = (np.clip(data, 0.0, 1.0) * 255.0).astype(np.uint8)
+            norm = grid.astype(np.float32) / 255.0
         else:
             # non-quantized path for oracle tests
             grid = data
+            norm = data
         extent = np.array(data.shape, np.float32)
         sky_size = extent / np.linalg.norm(extent) * WORLD_SCALE
         return Volume(
             grid=jnp.asarray(grid),
+            macro=jnp.asarray(_build_macro(norm)),
             sky_size=jnp.asarray(sky_size.astype(np.float32)),
             density_factor=jnp.float32(density_factor),
             g=jnp.float32(g))
@@ -134,3 +153,57 @@ def find_entry_exit(vol: Volume, ro: jax.Array, rd: jax.Array):
     entry = jnp.where(hit[..., None], entry, far)
     exit_ = jnp.where(hit[..., None], exit_, far)
     return entry, exit_, hit
+
+
+def _build_macro(norm_grid: np.ndarray) -> np.ndarray:
+    """Dilated per-macrocell max of the normalized density: flat (Mx*My*Mz,)
+    float32 with a tiny safety margin so fine/majorant acceptance ratios
+    never exceed 1."""
+    dims = norm_grid.shape
+    m = [-(-d // MACRO_CELL) for d in dims]
+    pad = [(0, mi * MACRO_CELL - d) for mi, d in zip(m, dims)]
+    g = np.pad(norm_grid, pad)
+    cells = g.reshape(m[0], MACRO_CELL, m[1], MACRO_CELL, m[2], MACRO_CELL)
+    cmax = cells.max(axis=(1, 3, 5))
+    # 3x3x3 max dilation
+    dil = cmax.copy()
+    for axis in range(3):
+        a = dil
+        # shift-based dilation per axis
+        shifted_pos = np.roll(a, 1, axis=axis)
+        shifted_neg = np.roll(a, -1, axis=axis)
+        # zero the wrapped borders
+        sl_first = [slice(None)] * 3
+        sl_first[axis] = slice(0, 1)
+        sl_last = [slice(None)] * 3
+        sl_last[axis] = slice(-1, None)
+        shifted_pos[tuple(sl_first)] = 0
+        shifted_neg[tuple(sl_last)] = 0
+        dil = np.maximum(dil, np.maximum(shifted_pos, shifted_neg))
+    dil = dil * (1.0 + 1e-5) + 1e-7
+    return dil.reshape(-1).astype(np.float32)
+
+
+def macro_sigma(vol: Volume, pos: jax.Array) -> jax.Array:
+    """Local majorant (extinction upper bound) at world positions:
+    density_factor * dilated-macrocell-max, 0 outside the box.
+
+    Served by the Pallas small-table kernel on TPU (ops/macro_gather.py).
+    """
+    from .ops.macro_gather import small_table_lookup
+
+    uvw = sky_uvw(vol, pos)
+    mdims = vol.macro_dims
+    md = jnp.asarray(mdims, jnp.float32)
+    cell_f = uvw * md
+    # one-cell margin OUTSIDE the box: a sample just outside must still
+    # dominate the in-box part of its interval (the clamped edge cell's
+    # dilated value covers it); beyond one cell the interval cannot reach
+    # the medium, so zero majorant is safe
+    inside_ext = jnp.all((cell_f >= -1.0) & (cell_f < md + 1.0), axis=-1)
+    idx = jnp.clip(jnp.floor(cell_f).astype(jnp.int32), 0,
+                   jnp.asarray(mdims, jnp.int32) - 1)
+    lin = (idx[..., 0] * (mdims[1] * mdims[2]) + idx[..., 1] * mdims[2]
+           + idx[..., 2])
+    val = small_table_lookup(vol.macro, lin)
+    return jnp.where(inside_ext, val, 0.0) * vol.density_factor

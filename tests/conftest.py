@@ -28,7 +28,10 @@ import pytest
 def cloud_grid():
     """Dense WDAS sixteenth-cloud density grid (cached per session)."""
     from nrc_hpm_tpu.utils.vdb import load_vdb
-    return load_vdb("/root/reference/data/volume/wdas_cloud_sixteenth.vdb")
+    # pure-Python parser: tests also assert on grid metadata, which the
+    # native fast path does not surface
+    return load_vdb("/root/reference/data/volume/wdas_cloud_sixteenth.vdb",
+                    prefer_native=False)
 
 
 @pytest.fixture(scope="session")

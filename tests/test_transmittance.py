@@ -158,3 +158,83 @@ def test_fast_vacuum_behaviour():
     assert np.asarray(exited).all()
     t, _ = ratio_track_fast(_states(n), vol, ro, ro + rd * 10)
     assert np.allclose(np.asarray(t), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# piecewise-majorant tracking equivalence
+# ---------------------------------------------------------------------------
+
+def test_ratio_track_pw_matches_sequential_stats(small_volume):
+    from nrc_hpm_tpu.transmittance import ratio_track_pw
+    n = 20000
+    sky = np.asarray(small_volume.sky_size)
+    start = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, 0, 0]), (n, 3))
+    end = jnp.broadcast_to(jnp.asarray([sky[0] / 2, 1.0, 2.0]), (n, 3))
+    t_seq, _ = ratio_track(_states(n), small_volume, start, end)
+    t_pw, _ = ratio_track_pw(_states(n, 0.51), small_volume, start, end)
+    a = float(np.mean(np.asarray(t_seq)))
+    b = float(np.mean(np.asarray(t_pw)))
+    assert abs(a - b) < 0.02, (a, b)
+
+
+def test_delta_track_pw_matches_sequential_stats(small_volume):
+    from nrc_hpm_tpu.transmittance import delta_track_pw
+    n = 30000
+    sky = np.asarray(small_volume.sky_size)
+    ro = jnp.broadcast_to(jnp.asarray([-sky[0], 0.5, 0.5]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    p1, e1, _ = delta_track(_states(n), small_volume, ro, rd)
+    p2, e2, _ = delta_track_pw(_states(n, 0.9), small_volume, ro, rd)
+    assert abs(np.asarray(e1).mean() - np.asarray(e2).mean()) < 0.02
+    d1 = np.linalg.norm(np.asarray(p1) - np.asarray(ro), axis=-1)
+    d2 = np.linalg.norm(np.asarray(p2) - np.asarray(ro), axis=-1)
+    m1 = d1[~np.asarray(e1)].mean()
+    m2 = d2[~np.asarray(e2)].mean()
+    assert abs(m1 - m2) < 0.5, (m1, m2)
+
+
+def test_pw_empty_volume_zero_events():
+    from nrc_hpm_tpu.transmittance import delta_track_pw, ratio_track_pw
+    vol = Volume.homogeneous_cube(4, 0.0, 0.6, 0.0)
+    n = 64
+    ro = jnp.zeros((n, 3), jnp.float32)
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    _, exited, _ = delta_track_pw(_states(n), vol, ro, rd)
+    assert np.asarray(exited).all()
+    t, _ = ratio_track_pw(_states(n), vol, ro, ro + rd * 30)
+    assert np.allclose(np.asarray(t), 1.0)
+
+
+def test_pw_homogeneous_exit_probability():
+    from nrc_hpm_tpu.transmittance import delta_track_pw
+    vol = Volume.homogeneous_cube(4, 1.0, 0.15, 0.0)
+    sky = np.asarray(vol.sky_size)
+    n = 40000
+    ro = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    _, exited, _ = delta_track_pw(_states(n), vol, ro, rd)
+    p_exit = np.exp(-0.15 * float(sky[0]))
+    assert abs(np.asarray(exited).mean() - p_exit) < 0.01
+
+
+def test_pw_heterogeneous_transmittance_unbiased(cloud_grid):
+    """Cloud chord: E[pw ratio-track] must equal the analytic Beer-Lambert
+    transmittance of the quantized density line integral."""
+    from nrc_hpm_tpu.transmittance import ratio_track_pw
+    from nrc_hpm_tpu.volume import get_density
+    vol = Volume.from_dense(cloud_grid.data, 0.6, 0.8)
+    sky = np.asarray(vol.sky_size)
+    n = 60000
+    start = jnp.broadcast_to(jnp.asarray([-sky[0] / 2, -3.0, 5.0]), (n, 3))
+    end = jnp.broadcast_to(jnp.asarray([sky[0] / 2, 2.0, -8.0]), (n, 3))
+    t, _ = ratio_track_pw(_states(n), vol, start, end)
+    est = float(np.asarray(t).mean())
+    # dense quadrature of the optical depth along the same segment
+    s = np.asarray(start)[0]
+    e = np.asarray(end)[0]
+    ts = np.linspace(0, 1, 20000, dtype=np.float32)
+    pts = s + ts[:, None] * (e - s)
+    dens = np.asarray(get_density(vol, jnp.asarray(pts)))
+    od = dens.mean() * np.linalg.norm(e - s)
+    expect = float(np.exp(-od))
+    assert abs(est - expect) < 0.02, (est, expect)

@@ -39,3 +39,15 @@ def test_missing_grid_name():
     with pytest.raises(ValueError):
         load_vdb("/root/reference/data/volume/wdas_cloud_sixteenth.vdb",
                  grid_name="nonexistent")
+
+
+def test_native_loader_matches_python(cloud_grid):
+    from nrc_hpm_tpu.utils import native
+    if not native.available():
+        pytest.skip("native/libnrcio.so not built")
+    arr, bbox_min, voxel = native.vdb_load_native(
+        "/root/reference/data/volume/wdas_cloud_sixteenth.vdb")
+    assert arr.shape == cloud_grid.data.shape
+    assert (bbox_min == cloud_grid.bbox_min).all()
+    assert np.array_equal(arr, cloud_grid.data)
+    assert voxel == pytest.approx(cloud_grid.voxel_size)
