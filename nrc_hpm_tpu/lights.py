@@ -193,3 +193,22 @@ def lights_from_scene(scene) -> Lights:
         dir_light=DirLight.create(strength=scene.dir_light_strength),
         point_light=PointLight.create(strength=scene.point_light_strength),
         env=env)
+
+
+def update_scene(lights: Lights, scene, delta_time: float) -> Lights:
+    """HpmScene::Update (src/HpmScene.cpp:56-76): dynamic scenes animate the
+    directional light azimuth at 0.5 rad/s (mod 2*pi).  All shipped presets
+    are static; this is the capability hook for dynamic ones."""
+    if not scene.dynamic:
+        return lights
+    import numpy as np
+
+    d = lights.dir_light.direction
+    az = float(jnp.arctan2(d[2], d[0])) if hasattr(d, "shape") else 0.0
+    # reconstruct zenith from the stored direction, advance azimuth
+    zen = float(jnp.arcsin(jnp.clip(-d[1], -1.0, 1.0))) - np.pi / 2
+    new_az = (az + delta_time * 0.5) % (2.0 * np.pi)
+    new_dir = DirLight.create(zenith=zen, azimuth=new_az,
+                              strength=float(lights.dir_light.strength))
+    return Lights(dir_light=new_dir, point_light=lights.point_light,
+                  env=lights.env)

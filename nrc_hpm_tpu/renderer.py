@@ -385,3 +385,12 @@ class NrcRenderer:
 
         return NrcRenderState(image=image, blend_index=blend_index,
                               ring=ring, nrc=nrc_state, key=key)
+
+
+def reset_accumulation(state):
+    """SetCamera semantics (NrcHpmRenderer.cu:561-604 / McHpmRenderer): a
+    camera change clears the temporal accumulation.  Works for McState and
+    NrcRenderState."""
+    return state.replace(
+        image=jnp.zeros_like(state.image),
+        blend_index=jnp.int32(1))
