@@ -274,53 +274,69 @@ def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
 # The estimators match the reference's delta/ratio tracking statistically;
 # the event cap plays the role of the reference's 128-step cap.
 
-from .volume import macro_sigma  # noqa: E402
+from .volume import macro_control, macro_sigma  # noqa: E402
 
 
 def _coarse_profile(vol: Volume, start, direction, tmax, C: int):
-    """sigma (..., C) per interval, right-edge cumulative depth (..., C),
-    interval length h (...,). Interval i covers [i*h, (i+1)*h) with the
-    majorant = max of the dilated field at BOTH endpoints: every interval
-    point is within h/2 of an endpoint, so domination holds for interval
-    lengths up to two macrocell edges."""
+    """Piecewise-constant majorant and control profiles along the segment.
+
+    Returns (sigma (..., C), c (..., C), ccum (..., C), rcum (..., C), h):
+    sigma dominates the density over each interval (max of the dilated
+    macro field at both endpoints), c underestimates it (min of the eroded
+    field), ccum/rcum are right-edge cumulative control/residual optical
+    depths.  Domination/underestimation hold for interval lengths up to two
+    macrocell edges (every interval point is within h/2 of an endpoint).
+    """
     h = tmax / C
     ts = jnp.arange(C + 1, dtype=jnp.float32) * h[..., None]
     pos = start[..., None, :] + ts[..., None] * direction[..., None, :]
-    s = macro_sigma(vol, pos)
-    sigma = jnp.maximum(s[..., :-1], s[..., 1:])
-    dcum = jnp.cumsum(sigma * h[..., None], axis=-1)
-    return sigma, dcum, h
+    smax = macro_sigma(vol, pos)
+    smin = macro_control(vol, pos)
+    sigma = jnp.maximum(smax[..., :-1], smax[..., 1:])
+    c = jnp.minimum(jnp.minimum(smin[..., :-1], smin[..., 1:]), sigma)
+    ccum = jnp.cumsum(c * h[..., None], axis=-1)
+    rcum = jnp.cumsum((sigma - c) * h[..., None], axis=-1)
+    return sigma, c, ccum, rcum, h
 
 
-def _map_events(E, sigma, dcum, h):
-    """Cumulative event depths E (..., S) -> (t, sigma_at, beyond)."""
-    C = sigma.shape[-1]
-    # interval index = #right-edges <= E  (fused comparison reduction)
-    i = jnp.sum((E[..., None] >= dcum[..., None, :]).astype(jnp.int32),
+def _map_events(E, cum, h, fields):
+    """Invert the piecewise-linear cumulative depth at event depths E
+    (..., S): returns (t, beyond, [field_at_event...]) where each entry of
+    ``fields`` is a (..., C) per-interval array selected at the event's
+    interval."""
+    C = cum.shape[-1]
+    i = jnp.sum((E[..., None] >= cum[..., None, :]).astype(jnp.int32),
                 axis=-1)
     beyond = i >= C
     i_cl = jnp.minimum(i, C - 1)
     onehot = jax.nn.one_hot(i_cl, C, dtype=jnp.float32)
-    dleft_all = jnp.concatenate(
-        [jnp.zeros_like(dcum[..., :1]), dcum[..., :-1]], axis=-1)
-    dleft = jnp.einsum("...sc,...c->...s", onehot, dleft_all)
-    sig = jnp.einsum("...sc,...c->...s", onehot, sigma)
-    t = (i_cl.astype(jnp.float32) * h[..., None]
-         + (E - dleft) / jnp.maximum(sig, 1e-12))
-    return t, jnp.maximum(sig, 1e-12), beyond
+    cum_left_all = jnp.concatenate(
+        [jnp.zeros_like(cum[..., :1]), cum[..., :-1]], axis=-1)
+    cum_left = jnp.einsum("...sc,...c->...s", onehot, cum_left_all)
+    outs = [jnp.einsum("...sc,...c->...s", onehot, f) for f in fields]
+    # rate within the interval = (cum_i - cum_left_i) / h
+    cum_right = jnp.einsum("...sc,...c->...s", onehot, cum)
+    rate = jnp.maximum((cum_right - cum_left) / jnp.maximum(
+        h[..., None], 1e-20), 1e-12)
+    t = (i_cl.astype(jnp.float32) * h[..., None] + (E - cum_left) / rate)
+    return t, beyond, outs
 
 
 def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
                    segment: int = 16, coarse: int = 32, active=None):
-    """Piecewise-majorant RatioTrack: same contract as ratio_track."""
+    """Residual ratio tracking with piecewise control/majorant:
+    T = exp(-int c) * E[ prod over residual events (1 - (d - c)/(sigma - c)) ].
+    Same contract as ratio_track; fine-grid gathers happen only at residual
+    events, i.e. where the density actually varies."""
     seg_vec = end - start
     tmax = jnp.linalg.norm(seg_vec, axis=-1)
     direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
     if active is not None:
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
-    sigma, dcum, h = _coarse_profile(vol, start, direction, tmax, coarse)
-    dtot = dcum[..., -1]
+    sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction, tmax,
+                                              coarse)
+    rtot = rcum[..., -1]
     seg_count = max(1, (max_steps + segment - 1) // segment)
 
     def body(carry):
@@ -328,45 +344,63 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
         u = _indexed_draws(seed, i.astype(jnp.uint32) * segment, segment,
                            salt=0x9E3779B9)
         E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u), axis=-1)
-        t, sig, beyond = _map_events(E, sigma, dcum, h)
+        t, beyond, (c_at, s_at) = _map_events(E, rcum, h, (c, sigma))
         pos = start[..., None, :] + t[..., None] * direction[..., None, :]
         dens = get_density(vol, pos)
-        factors = jnp.where(beyond, 1.0, 1.0 - dens / sig)
+        sres = jnp.maximum(s_at - c_at, 1e-12)
+        factors = jnp.where(beyond, 1.0,
+                            1.0 - jnp.clip(dens - c_at, 0.0, None) / sres)
         trans = trans * jnp.prod(factors, axis=-1)
         return i + 1, E[..., -1], trans
 
     def cond(carry):
         i, e_last, _ = carry
-        return (i < seg_count) & jnp.any(e_last < dtot)
+        return (i < seg_count) & jnp.any(e_last < rtot)
 
     t0 = jnp.zeros_like(tmax)
     _, _, trans = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.ones_like(tmax)))
+    # analytic control transmittance over the whole segment
+    trans = trans * jnp.exp(-ccum[..., -1])
     return trans, state
 
 
 def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                    segment: int = 16, coarse: int = 32, active=None):
-    """Piecewise-majorant DeltaTrack: same contract as delta_track."""
+    """Decomposition delta tracking: the control component's first collision
+    is sampled ANALYTICALLY (no density lookups); only residual events —
+    concentrated where the density varies — gather the fine grid.  The
+    first arrival of either stream is the collision (superposition of
+    independent Poisson processes).  Same contract as delta_track."""
     _, exit_pt, _ = find_entry_exit(vol, ro, rd)
     tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
     if active is not None:
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
-    sigma, dcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
-    dtot = dcum[..., -1]
+    sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
+    rtot = rcum[..., -1]
+    ctot = ccum[..., -1]
     seg_count = max(1, (max_steps + segment - 1) // segment)
 
+    # control collision: one Exp(1) draw inverted through ccum
+    e_ctrl = -jnp.log1p(-_indexed_draws(seed, jnp.uint32(0), 1,
+                                        salt=0x165667B1)[..., 0])
+    t_ctrl_raw, ctrl_beyond, _ = _map_events(
+        e_ctrl[..., None], ccum, h, ())
+    ctrl_hit = (~ctrl_beyond[..., 0]) & (e_ctrl < ctot)
+    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[..., 0], jnp.inf)
+
     def body(carry):
-        i, e_last, resolved, hit, exited, t_hit = carry
+        i, e_last, resolved, res_hit, crossed, t_res = carry
         k0 = i.astype(jnp.uint32) * segment
         u1 = _indexed_draws(seed, k0, segment, salt=0x85EBCA6B)
         u2 = _indexed_draws(seed, k0, segment, salt=0xC2B2AE35)
         E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u1), axis=-1)
-        t, sig, beyond = _map_events(E, sigma, dcum, h)
+        t, beyond, (c_at, s_at) = _map_events(E, rcum, h, (c, sigma))
         pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
         dens = get_density(vol, pos)
-        accept = ~beyond & (dens / sig > u2)
+        sres = jnp.maximum(s_at - c_at, 1e-12)
+        accept = ~beyond & (jnp.clip(dens - c_at, 0.0, None) / sres > u2)
         event = accept | beyond
         first = jnp.argmax(event, axis=-1)
         has_event = jnp.any(event, axis=-1)
@@ -374,11 +408,11 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
             accept, first[..., None], axis=-1)[..., 0]
         ev_t = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
         new = ~resolved & has_event
-        hit = hit | (new & ev_accept)
-        exited = exited | (new & ~ev_accept)
-        t_hit = jnp.where(new & ev_accept, ev_t, t_hit)
+        res_hit = res_hit | (new & ev_accept)
+        crossed = crossed | (new & ~ev_accept)
+        t_res = jnp.where(new & ev_accept, ev_t, t_res)
         resolved = resolved | has_event
-        return (i + 1, E[..., -1], resolved, hit, exited, t_hit)
+        return (i + 1, E[..., -1], resolved, res_hit, crossed, t_res)
 
     def cond(carry):
         i, _, resolved, *_ = carry
@@ -386,10 +420,20 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
 
     f0 = jnp.zeros(tmax.shape, bool)
     t0 = jnp.zeros_like(tmax)
-    _, _, _, hit, exited, t_hit = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, f0, f0, f0, t0))
+    inf0 = jnp.full(tmax.shape, jnp.inf)
+    _, _, resolved, res_hit, crossed, t_res = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, f0, f0, f0, inf0))
+    t_res = jnp.where(res_hit, t_res, jnp.inf)
+
+    # superpose the two streams: earliest collision wins
+    t_star = jnp.minimum(t_ctrl, t_res)
+    hit = t_star <= tmax
+    # exit only when the residual stream actually crossed the end and the
+    # control stream produced no earlier collision (exhausted lanes keep
+    # volume_exit False, like the reference's 128-step cap)
+    exited = ~hit & crossed & ~ctrl_hit
 
     u3 = _indexed_draws(seed, jnp.uint32(0), 1, salt=0x27D4EB2F)[..., 0]
-    t_final = jnp.where(hit, t_hit, u3 * tmax)
+    t_final = jnp.where(hit, t_star, u3 * tmax)
     pos = ro + t_final[..., None] * rd
     return pos, exited, state

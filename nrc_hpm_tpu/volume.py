@@ -48,6 +48,7 @@ class Volume:
 
     grid: jax.Array            # (X, Y, Z) uint8
     macro: jax.Array           # (Mx*My*Mz,) float32 flat dilated max density
+    macro_min: jax.Array       # (Mx*My*Mz,) float32 flat eroded min density
     sky_size: jax.Array        # (3,) float32
     density_factor: jax.Array  # () float32 — VOLUME_DENSITY_FACTOR
     g: jax.Array               # () float32 — HG anisotropy VOLUME_G
@@ -78,9 +79,11 @@ class Volume:
             norm = data
         extent = np.array(data.shape, np.float32)
         sky_size = extent / np.linalg.norm(extent) * WORLD_SCALE
+        macro_max, macro_min = _build_macro(norm)
         return Volume(
             grid=jnp.asarray(grid),
-            macro=jnp.asarray(_build_macro(norm)),
+            macro=jnp.asarray(macro_max),
+            macro_min=jnp.asarray(macro_min),
             sky_size=jnp.asarray(sky_size.astype(np.float32)),
             density_factor=jnp.float32(density_factor),
             g=jnp.float32(g))
@@ -155,33 +158,71 @@ def find_entry_exit(vol: Volume, ro: jax.Array, rd: jax.Array):
     return entry, exit_, hit
 
 
-def _build_macro(norm_grid: np.ndarray) -> np.ndarray:
-    """Dilated per-macrocell max of the normalized density: flat (Mx*My*Mz,)
-    float32 with a tiny safety margin so fine/majorant acceptance ratios
-    never exceed 1."""
+def _shift3(a: np.ndarray, axis: int, border: float):
+    """(rolled +1, rolled -1) with ``border`` filling the wrapped edge."""
+    p = np.roll(a, 1, axis=axis)
+    n = np.roll(a, -1, axis=axis)
+    sl_first = [slice(None)] * 3
+    sl_first[axis] = slice(0, 1)
+    sl_last = [slice(None)] * 3
+    sl_last[axis] = slice(-1, None)
+    p[tuple(sl_first)] = border
+    n[tuple(sl_last)] = border
+    return p, n
+
+
+def _build_macro(norm_grid: np.ndarray):
+    """(dilated max, eroded min) of the normalized density per macrocell,
+    flat (Mx*My*Mz,) float32.  The max side carries a tiny safety margin so
+    fine/majorant acceptance ratios never exceed 1; the min side is the
+    CONTROL density for decomposition tracking and must underestimate the
+    density everywhere within one macrocell of a sample."""
     dims = norm_grid.shape
     m = [-(-d // MACRO_CELL) for d in dims]
     pad = [(0, mi * MACRO_CELL - d) for mi, d in zip(m, dims)]
     g = np.pad(norm_grid, pad)
+    gmin = np.pad(norm_grid, pad, constant_values=0.0)
     cells = g.reshape(m[0], MACRO_CELL, m[1], MACRO_CELL, m[2], MACRO_CELL)
     cmax = cells.max(axis=(1, 3, 5))
-    # 3x3x3 max dilation
-    dil = cmax.copy()
+    cmin = gmin.reshape(m[0], MACRO_CELL, m[1], MACRO_CELL,
+                        m[2], MACRO_CELL).min(axis=(1, 3, 5))
+    # edge macrocells touch the zero border outside the box
     for axis in range(3):
-        a = dil
-        # shift-based dilation per axis
-        shifted_pos = np.roll(a, 1, axis=axis)
-        shifted_neg = np.roll(a, -1, axis=axis)
-        # zero the wrapped borders
         sl_first = [slice(None)] * 3
         sl_first[axis] = slice(0, 1)
         sl_last = [slice(None)] * 3
         sl_last[axis] = slice(-1, None)
-        shifted_pos[tuple(sl_first)] = 0
-        shifted_neg[tuple(sl_last)] = 0
-        dil = np.maximum(dil, np.maximum(shifted_pos, shifted_neg))
+        cmin[tuple(sl_first)] = 0.0
+        cmin[tuple(sl_last)] = 0.0
+    dil, ero = cmax.copy(), cmin.copy()
+    for axis in range(3):
+        p, n = _shift3(dil, axis, 0.0)
+        dil = np.maximum(dil, np.maximum(p, n))
+        p, n = _shift3(ero, axis, 0.0)
+        ero = np.minimum(ero, np.minimum(p, n))
     dil = dil * (1.0 + 1e-5) + 1e-7
-    return dil.reshape(-1).astype(np.float32)
+    ero = np.minimum(ero, dil)
+    return (dil.reshape(-1).astype(np.float32),
+            ero.reshape(-1).astype(np.float32))
+
+
+def macro_control(vol: Volume, pos: jax.Array) -> jax.Array:
+    """Eroded-min control density x density_factor at world positions —
+    guaranteed <= the real density anywhere within one macrocell of pos;
+    0 outside the box."""
+    from .ops.macro_gather import small_table_lookup
+
+    uvw = sky_uvw(vol, pos)
+    mdims = vol.macro_dims
+    md = jnp.asarray(mdims, jnp.float32)
+    cell_f = uvw * md
+    inside = jnp.all((cell_f >= 0.0) & (cell_f < md), axis=-1)
+    idx = jnp.clip(jnp.floor(cell_f).astype(jnp.int32), 0,
+                   jnp.asarray(mdims, jnp.int32) - 1)
+    lin = (idx[..., 0] * (mdims[1] * mdims[2]) + idx[..., 1] * mdims[2]
+           + idx[..., 2])
+    val = small_table_lookup(vol.macro_min, lin)
+    return jnp.where(inside, val, 0.0) * vol.density_factor
 
 
 def macro_sigma(vol: Volume, pos: jax.Array) -> jax.Array:
