@@ -154,6 +154,11 @@ class AppConfig:
     # reference's NrcInferFilter (prep_infer_rays.comp:44-45,
     # NeuralRadianceCache.cu:134-145) rebuilt as a lax.cond per batch.
     infer_filter: bool = True
+    # Compaction: trace only box-hitting rays / encode only scattered
+    # pixels, at a static capacity of half the screen with a dense
+    # lax.cond fallback when more lanes are live.
+    compact: bool = True
+    infer_compact: bool = True
 
     # ------------------------------------------------------------------
     @property

@@ -98,46 +98,57 @@ def hash_grid_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec
     """x: (..., n_dims) positions (nominally in [0,1]) ->
     (..., n_levels*n_features) trilinearly interpolated features.
 
-    All levels' corner indices are computed together and served by a
-    SINGLE row gather into the concatenated table — one big gather beats
-    n_levels small ones on TPU (the gather rate is per row, so the two
-    features of a corner cost one lookup)."""
+    TPU layout note: every per-corner tensor is shaped (..., L*2^d) — one
+    FLAT 128-wide minor axis for the default 16 levels x 8 corners — and
+    features are gathered from PLANAR per-feature tables.  Small trailing
+    dims like (..., L, 8, 3) would be tile-padded 16-64x by the (8, 128)
+    TPU layout; the flat layout keeps every materialized buffer dense.
+    """
     L = spec.n_levels
-    corners = jnp.asarray(_corner_offsets(spec.n_dims))  # (2^d, d)
-    scales = jnp.asarray([spec.level_scale(l) for l in range(L)],
-                         jnp.float32)
-    res = jnp.asarray([spec.level_resolution(l) for l in range(L)],
+    ncor = 1 << spec.n_dims
+    corners = _corner_offsets(spec.n_dims)                 # np (2^d, d)
+    flat = L * ncor
+
+    def per_level(vals, dtype):
+        return jnp.asarray(np.repeat(np.asarray(vals), ncor), dtype)
+
+    scale_f = per_level([spec.level_scale(l) for l in range(L)], jnp.float32)
+    res_f = per_level([spec.level_resolution(l) for l in range(L)],
                       jnp.int32)
-    dense = jnp.asarray([spec.level_is_dense(l) for l in range(L)], bool)
-    params = jnp.asarray([spec.level_params(l) for l in range(L)],
+    dense_f = per_level([spec.level_is_dense(l) for l in range(L)], bool)
+    params_f = per_level([spec.level_params(l) for l in range(L)],
                          jnp.uint32)
-    offsets = jnp.asarray(spec.level_offsets[:-1], jnp.int32)
+    off_f = per_level(spec.level_offsets[:-1], jnp.int32)
+    cor = [jnp.asarray(np.tile(corners[:, d], L), jnp.int32)
+           for d in range(spec.n_dims)]
 
-    xs = x[..., None, :] * scales[:, None] + 0.5          # (..., L, d)
-    x0 = jnp.floor(xs)
-    w = xs - x0                                           # (..., L, d)
-    cpos = x0.astype(jnp.int32)[..., None, :] + corners   # (..., L, 2^d, d)
+    lead = x.shape[:-1]
+    idx = None
+    weight = jnp.ones(lead + (flat,), jnp.float32)
+    lin = jnp.zeros(lead + (flat,), jnp.int32)
+    hsh = jnp.zeros(lead + (flat,), jnp.uint32)
+    stride = jnp.ones((flat,), jnp.int32)
+    for d in range(spec.n_dims):
+        xs = x[..., d:d + 1] * scale_f + 0.5               # (..., flat)
+        x0 = jnp.floor(xs)
+        w = xs - x0
+        cd = x0.astype(jnp.int32) + cor[d]
+        weight = weight * jnp.where(cor[d].astype(bool), w, 1.0 - w)
+        cc = jnp.clip(cd, 0, res_f - 1)
+        lin = lin + cc * stride
+        stride = stride * res_f
+        hsh = hsh ^ (cd.astype(jnp.uint32) * jnp.uint32(_PRIMES[d % 3])) \
+            if d else cd.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    idx = jnp.where(dense_f, lin,
+                    (hsh % params_f).astype(jnp.int32)) + off_f
 
-    # dense path: strided linear index with clamped coords
-    cc = jnp.clip(cpos, 0, (res - 1)[:, None, None])
-    stride1 = res
-    stride2 = res * res
-    lin = (cc[..., 0] + cc[..., 1] * stride1[:, None]
-           + cc[..., 2] * stride2[:, None])
-    # hashed path: prime-XOR hash modulo the level's table size
-    h = cpos[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-    for d in range(1, spec.n_dims):
-        h = h ^ (cpos[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d % 3]))
-    hashed = (h % params[:, None]).astype(jnp.int32)
-
-    idx = jnp.where(dense[:, None], lin, hashed) + offsets[:, None]
-    fv = jnp.take(table, idx, axis=0)                     # (..., L, 2^d, F)
-
-    cw = jnp.where(corners.astype(bool), w[..., None, :],
-                   1.0 - w[..., None, :])                 # (..., L, 2^d, d)
-    weight = jnp.prod(cw, axis=-1)
-    feats = jnp.sum(fv * weight[..., None], axis=-2)      # (..., L, F)
-    return feats.reshape(*x.shape[:-1], L * spec.n_features)
+    # ONE row gather fetches all features of a corner (the TPU gather rate
+    # is per row); the (..., flat, F) output fuses into the weighted
+    # reduction, so its small trailing dim never materializes
+    fv = jnp.take(table, idx, axis=0)                      # (..., flat, F)
+    weighted = fv * weight[..., None]
+    feats = weighted.reshape(lead + (L, ncor, spec.n_features)).sum(axis=-2)
+    return feats.reshape(lead + (L * spec.n_features,))
 
 
 def one_blob_encode(x: jax.Array, n_bins: int) -> jax.Array:

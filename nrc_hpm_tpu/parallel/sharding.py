@@ -38,7 +38,7 @@ from ..config import AppConfig
 from ..integrator import TraceParams, trace_fixed
 from ..lights import LightFlags, Lights, lights_from_scene
 from ..renderer import (NrcRenderState, _volume_from_config, pack_nrc_inputs,
-                        primary_pass)
+                        primary_pass, primary_pass_compact)
 from ..ring_buffer import RingBuffer, ring_pop, ring_push, ring_wrap
 from ..models.nrc.cache import NeuralRadianceCache
 from ..utils import rng
@@ -164,13 +164,22 @@ class ShardedNrcRenderer:
         uu, vv = jnp.meshgrid(x, y, indexing="xy")
         frag_uv = jnp.stack([uu, vv], axis=-1)
         rd = rays_for_uv(camera, frag_uv)
-        ro_b = jnp.broadcast_to(camera.pos, rd.shape)
         rng_state = rng.init_state(frag_uv, frame_rand)
-        prim = primary_pass(rng_state, vol, lights, self.params, cfg,
-                            ro_b, rd)
+        n_local = self.local_h * self.width
+        flat_rd = rd.reshape(n_local, 3)
+        flat_ro = jnp.broadcast_to(camera.pos, flat_rd.shape)
+        if cfg.compact:
+            prim = primary_pass_compact(
+                rng_state.reshape(n_local), vol, lights, self.params, cfg,
+                flat_ro, flat_rd, chunks=cfg.trace_chunks)
+        else:
+            prim = primary_pass(rng_state.reshape(n_local), vol, lights,
+                                self.params, cfg, flat_ro, flat_rd)
 
         x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])
         nrc_rgb = self.cache.infer(state.nrc, x5.reshape(-1, 5))
+        prim = {k: v.reshape(self.local_h, self.width, *v.shape[1:])
+                for k, v in prim.items() if k != "state"}
         nrc_rgb = nrc_rgb.reshape(self.local_h, self.width, 3)
 
         add = jnp.maximum(nrc_rgb, 0.0) * prim["primary_color"][..., 3:4]

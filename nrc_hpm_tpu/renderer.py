@@ -170,6 +170,83 @@ def primary_pass(rng_state, vol, lights, params: TraceParams, cfg: AppConfig,
                 state=res["state"])
 
 
+def compact_apply(fn, mask, arrays, out_shapes, capacity: int,
+                  dense_fn=None):
+    """Run ``fn`` on only the mask-selected lanes (compacted to a static
+    ``capacity``), scattering results back to full size (zeros elsewhere).
+
+    The TPU analog of not launching warps for dead pixels: tracking cost
+    scales with the number of LIVE rays instead of the full screen.  If
+    more than ``capacity`` lanes are live, falls back to the dense call
+    via lax.cond (both branches are compiled; one executes).
+
+    fn(*compacted_arrays) -> tuple of (capacity, ...) arrays.
+    out_shapes: list of trailing shapes for the outputs (() for scalar
+    per-lane outputs).
+    Returns the tuple of full-size outputs.
+    """
+    n = mask.shape[0]
+    count = jnp.sum(mask)
+    (idx,) = jnp.nonzero(mask, size=capacity, fill_value=n)
+
+    def compact_branch(args):
+        gathered = [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+                    for a in args]
+        outs = fn(*gathered)
+        full = []
+        for o, tail in zip(outs, out_shapes):
+            buf = jnp.zeros((n,) + tuple(tail), o.dtype)
+            # out-of-range fill indices are dropped by the scatter
+            full.append(buf.at[idx].set(o, mode="drop"))
+        return tuple(full)
+
+    def dense_branch(args):
+        outs = (dense_fn or fn)(*args)
+        return tuple(jnp.where(
+            mask.reshape((n,) + (1,) * len(tail)) if tail else mask,
+            o, jnp.zeros_like(o))
+            for o, tail in zip(outs, out_shapes))
+
+    return jax.lax.cond(count <= capacity, compact_branch, dense_branch,
+                        tuple(arrays))
+
+
+def primary_pass_compact(rng_state, vol, lights, params: TraceParams,
+                         cfg: AppConfig, ro, rd, chunks: int = 1):
+    """Dense-output primary pass that traces only the rays whose pixel ray
+    actually hits the volume box (~25-30% for the reference camera).
+
+    Identical results to primary_pass up to fp reassociation; outputs match
+    its contract (minus the threaded RNG state)."""
+    n = rng_state.shape[0]
+    miss = primary_miss_mask(vol, ro, rd)
+    hit = ~miss
+    valid = hit.astype(jnp.float32)
+
+    def trace_hit(s, o, d, v):
+        act = v > 0.5  # compaction fill lanes carry v == 0
+        res = trace_primary(s, vol, lights, params, o, d, cfg, active=act)
+        return (res["radiance"], res["throughput"],
+                res["did_scatter"] & act, res["terminal_pos"],
+                res["terminal_dir"])
+
+    def traced(*args):
+        return _map_chunks(trace_hit, chunks, *args)
+
+    radiance, thr, scat, tpos, tdir = compact_apply(
+        traced, hit, (rng_state, ro, rd, valid),
+        out_shapes=[(3,), (), (), (3,), (3,)], capacity=n // 2)
+
+    did_scatter = scat & hit
+    env_color = sample_env_map(lights.env, rd)
+    use_env = ~did_scatter
+    rgb = jnp.where(use_env[..., None], env_color, radiance)
+    w = jnp.where(use_env, 1.0, thr)
+    primary_color = jnp.concatenate([rgb, w[..., None]], axis=-1)
+    return dict(primary_color=primary_color, did_scatter=did_scatter,
+                nrc_pos=tpos, nrc_dir=tdir)
+
+
 # ---------------------------------------------------------------------------
 # NRC renderer (NrcHpmRenderer equivalent)
 # ---------------------------------------------------------------------------
@@ -270,6 +347,20 @@ class NrcRenderer:
         missed are skipped (their output stays zero, matching the zero-fill
         of the infer buffers in NrcHpmRenderer.cu:1996-2000)."""
         n = x5.shape[0]
+        if self.cfg.infer_compact and n >= 4096:
+            # compact to scattered pixels only (zeros elsewhere, matching
+            # the reference's zero-filled infer buffers); the overflow
+            # fallback chunks to bound encode intermediates
+            def fn(x):
+                return (self.cache.infer(nrc_state, x),)
+
+            def dense(x):
+                return (_map_chunks(
+                    lambda xc: self.cache.infer(nrc_state, xc), 16, x),)
+
+            (out,) = compact_apply(fn, scat, (x5,), [(3,)], n // 2,
+                                   dense_fn=dense)
+            return out
         b = min(self.cfg.infer_batch_size, n)
         if not self.cfg.infer_filter or n == b:
             return self.cache.infer(nrc_state, x5)
@@ -305,16 +396,22 @@ class NrcRenderer:
         key, sub = jax.random.split(state.key)
         frame_rand = rng.frame_random(sub)
 
-        # 1-2: primary rays + NRC queries (chunked: all-miss chunks skip)
+        # 1-2: primary rays + NRC queries (compacted to live rays)
         ro, rd, frag_uv = pixel_rays(camera, self.width, self.height)
         rng_state = rng.init_state(frag_uv, frame_rand)
         n_pix = self.height * self.width
         flat_rd = rd.reshape(n_pix, 3)
         flat_ro = jnp.broadcast_to(ro, flat_rd.shape)
-        prim = _map_chunks(
-            lambda s, o, d: primary_pass(s, vol, lights, self.params, cfg,
-                                         o, d),
-            cfg.trace_chunks, rng_state.reshape(n_pix), flat_ro, flat_rd)
+        if cfg.compact:
+            prim = primary_pass_compact(
+                rng_state.reshape(n_pix), vol, lights, self.params, cfg,
+                flat_ro, flat_rd, chunks=cfg.trace_chunks)
+        else:
+            prim = _map_chunks(
+                lambda s, o, d: primary_pass(s, vol, lights, self.params,
+                                             cfg, o, d),
+                cfg.trace_chunks, rng_state.reshape(n_pix), flat_ro,
+                flat_rd)
 
         # 3: cache inference with the per-batch skip filter ------------
         x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])

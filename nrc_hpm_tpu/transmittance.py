@@ -274,51 +274,66 @@ def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
 # The estimators match the reference's delta/ratio tracking statistically;
 # the event cap plays the role of the reference's 128-step cap.
 
-from .volume import macro_control, macro_sigma  # noqa: E402
+from .volume import (get_density_xyz, macro_control_xyz,  # noqa: E402
+                     macro_sigma_xyz)
+
+
+# All piecewise buffers use LANE-MINOR layout — events/intervals lead,
+# lanes trail: (S, N) and (C, N).  The TPU tiles the two minor dims to
+# (8, 128); with N minor every materialized buffer is dense, whereas the
+# natural (N, S)/(N, S, 3) layouts get padded 4-40x.
+
+def _indexed_draws_lead(seed, k0, n: int, salt: int):
+    """Stateless uniforms with the event axis LEADING: (n, ...) float32."""
+    ks = k0 + jnp.arange(n, dtype=jnp.uint32)
+    hk = rng.hash_u32(jnp.uint32(salt) + ks)
+    shape = (n,) + (1,) * seed.ndim
+    return rng.float_construct(rng.hash_u32(seed[None] ^ hk.reshape(shape)))
 
 
 def _coarse_profile(vol: Volume, start, direction, tmax, C: int):
-    """Piecewise-constant majorant and control profiles along the segment.
+    """Piecewise-constant majorant/control profiles, lane-minor layout.
 
-    Returns (sigma (..., C), c (..., C), ccum (..., C), rcum (..., C), h):
-    sigma dominates the density over each interval (max of the dilated
-    macro field at both endpoints), c underestimates it (min of the eroded
-    field), ccum/rcum are right-edge cumulative control/residual optical
-    depths.  Domination/underestimation hold for interval lengths up to two
-    macrocell edges (every interval point is within h/2 of an endpoint).
-    """
+    start/direction: (N, 3); tmax: (N,).  Returns (sigma (C, N), c (C, N),
+    ccum (C, N), rcum (C, N), h (N,)).  sigma dominates the density over
+    each interval (max of the dilated macro field at both endpoints) and c
+    underestimates it (min of the eroded field); domination holds for
+    interval lengths up to two macrocell edges."""
     h = tmax / C
-    ts = jnp.arange(C + 1, dtype=jnp.float32) * h[..., None]
-    pos = start[..., None, :] + ts[..., None] * direction[..., None, :]
-    smax = macro_sigma(vol, pos)
-    smin = macro_control(vol, pos)
-    sigma = jnp.maximum(smax[..., :-1], smax[..., 1:])
-    c = jnp.minimum(jnp.minimum(smin[..., :-1], smin[..., 1:]), sigma)
-    ccum = jnp.cumsum(c * h[..., None], axis=-1)
-    rcum = jnp.cumsum((sigma - c) * h[..., None], axis=-1)
+    ts = jnp.arange(C + 1, dtype=jnp.float32)[:, None] * h[None, :]
+    px = start[None, :, 0] + ts * direction[None, :, 0]
+    py = start[None, :, 1] + ts * direction[None, :, 1]
+    pz = start[None, :, 2] + ts * direction[None, :, 2]
+    smax = macro_sigma_xyz(vol, px, py, pz)
+    smin = macro_control_xyz(vol, px, py, pz)
+    sigma = jnp.maximum(smax[:-1], smax[1:])
+    c = jnp.minimum(jnp.minimum(smin[:-1], smin[1:]), sigma)
+    ccum = jnp.cumsum(c * h[None, :], axis=0)
+    rcum = jnp.cumsum((sigma - c) * h[None, :], axis=0)
     return sigma, c, ccum, rcum, h
 
 
 def _map_events(E, cum, h, fields):
     """Invert the piecewise-linear cumulative depth at event depths E
-    (..., S): returns (t, beyond, [field_at_event...]) where each entry of
-    ``fields`` is a (..., C) per-interval array selected at the event's
-    interval."""
-    C = cum.shape[-1]
-    i = jnp.sum((E[..., None] >= cum[..., None, :]).astype(jnp.int32),
-                axis=-1)
-    beyond = i >= C
-    i_cl = jnp.minimum(i, C - 1)
-    onehot = jax.nn.one_hot(i_cl, C, dtype=jnp.float32)
-    cum_left_all = jnp.concatenate(
-        [jnp.zeros_like(cum[..., :1]), cum[..., :-1]], axis=-1)
-    cum_left = jnp.einsum("...sc,...c->...s", onehot, cum_left_all)
-    outs = [jnp.einsum("...sc,...c->...s", onehot, f) for f in fields]
-    # rate within the interval = (cum_i - cum_left_i) / h
-    cum_right = jnp.einsum("...sc,...c->...s", onehot, cum)
-    rate = jnp.maximum((cum_right - cum_left) / jnp.maximum(
-        h[..., None], 1e-20), 1e-12)
-    t = (i_cl.astype(jnp.float32) * h[..., None] + (E - cum_left) / rate)
+    (S, N): returns (t (S, N), beyond (S, N), [field_at_event...]).
+    ``fields`` entries are (C, N) per-interval arrays.  Selection uses a
+    fused (S, C, N) membership reduction — no index gathers."""
+    C = cum.shape[0]
+    cum_left = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
+    # membership: interval c contains E iff cum_left_c <= E < cum_c
+    ge = E[:, None, :] >= cum_left[None]
+    lt = E[:, None, :] < cum[None]
+    ind = ge & lt                                   # (S, C, N)
+    beyond = E >= cum[-1][None, :]
+
+    def sel(f):
+        return jnp.sum(jnp.where(ind, f[None], 0.0), axis=1)
+
+    t_left = jnp.arange(C, dtype=jnp.float32)[:, None] * h[None, :]
+    rate = jnp.maximum((cum - cum_left) / jnp.maximum(h[None, :], 1e-20),
+                       1e-12)
+    t = sel(t_left) + (E - sel(cum_left)) / jnp.maximum(sel(rate), 1e-12)
+    outs = [sel(f) for f in fields]
     return t, beyond, outs
 
 
@@ -336,22 +351,24 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     seed, state = _track_seed(state)
     sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction, tmax,
                                               coarse)
-    rtot = rcum[..., -1]
+    rtot = rcum[-1]
     seg_count = max(1, (max_steps + segment - 1) // segment)
 
     def body(carry):
         i, e_last, trans = carry
-        u = _indexed_draws(seed, i.astype(jnp.uint32) * segment, segment,
-                           salt=0x9E3779B9)
-        E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u), axis=-1)
+        u = _indexed_draws_lead(seed, i.astype(jnp.uint32) * segment,
+                                segment, salt=0x9E3779B9)
+        E = e_last[None, :] + jnp.cumsum(-jnp.log1p(-u), axis=0)
         t, beyond, (c_at, s_at) = _map_events(E, rcum, h, (c, sigma))
-        pos = start[..., None, :] + t[..., None] * direction[..., None, :]
-        dens = get_density(vol, pos)
+        px = start[None, :, 0] + t * direction[None, :, 0]
+        py = start[None, :, 1] + t * direction[None, :, 1]
+        pz = start[None, :, 2] + t * direction[None, :, 2]
+        dens = get_density_xyz(vol, px, py, pz)
         sres = jnp.maximum(s_at - c_at, 1e-12)
         factors = jnp.where(beyond, 1.0,
                             1.0 - jnp.clip(dens - c_at, 0.0, None) / sres)
-        trans = trans * jnp.prod(factors, axis=-1)
-        return i + 1, E[..., -1], trans
+        trans = trans * jnp.prod(factors, axis=0)
+        return i + 1, E[-1], trans
 
     def cond(carry):
         i, e_last, _ = carry
@@ -360,8 +377,7 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     t0 = jnp.zeros_like(tmax)
     _, _, trans = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.ones_like(tmax)))
-    # analytic control transmittance over the whole segment
-    trans = trans * jnp.exp(-ccum[..., -1])
+    trans = trans * jnp.exp(-ccum[-1])
     return trans, state
 
 
@@ -378,41 +394,42 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
     sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
-    rtot = rcum[..., -1]
-    ctot = ccum[..., -1]
+    rtot = rcum[-1]
+    ctot = ccum[-1]
     seg_count = max(1, (max_steps + segment - 1) // segment)
 
     # control collision: one Exp(1) draw inverted through ccum
-    e_ctrl = -jnp.log1p(-_indexed_draws(seed, jnp.uint32(0), 1,
-                                        salt=0x165667B1)[..., 0])
-    t_ctrl_raw, ctrl_beyond, _ = _map_events(
-        e_ctrl[..., None], ccum, h, ())
-    ctrl_hit = (~ctrl_beyond[..., 0]) & (e_ctrl < ctot)
-    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[..., 0], jnp.inf)
+    e_ctrl = -jnp.log1p(-_indexed_draws_lead(
+        seed, jnp.uint32(0), 1, salt=0x165667B1)[0])
+    t_ctrl_raw, ctrl_beyond, _ = _map_events(e_ctrl[None, :], ccum, h, ())
+    ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
+    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
 
     def body(carry):
         i, e_last, resolved, res_hit, crossed, t_res = carry
         k0 = i.astype(jnp.uint32) * segment
-        u1 = _indexed_draws(seed, k0, segment, salt=0x85EBCA6B)
-        u2 = _indexed_draws(seed, k0, segment, salt=0xC2B2AE35)
-        E = e_last[..., None] + jnp.cumsum(-jnp.log1p(-u1), axis=-1)
+        u1 = _indexed_draws_lead(seed, k0, segment, salt=0x85EBCA6B)
+        u2 = _indexed_draws_lead(seed, k0, segment, salt=0xC2B2AE35)
+        E = e_last[None, :] + jnp.cumsum(-jnp.log1p(-u1), axis=0)
         t, beyond, (c_at, s_at) = _map_events(E, rcum, h, (c, sigma))
-        pos = ro[..., None, :] + t[..., None] * rd[..., None, :]
-        dens = get_density(vol, pos)
+        px = ro[None, :, 0] + t * rd[None, :, 0]
+        py = ro[None, :, 1] + t * rd[None, :, 1]
+        pz = ro[None, :, 2] + t * rd[None, :, 2]
+        dens = get_density_xyz(vol, px, py, pz)
         sres = jnp.maximum(s_at - c_at, 1e-12)
         accept = ~beyond & (jnp.clip(dens - c_at, 0.0, None) / sres > u2)
         event = accept | beyond
-        first = jnp.argmax(event, axis=-1)
-        has_event = jnp.any(event, axis=-1)
-        ev_accept = jnp.take_along_axis(
-            accept, first[..., None], axis=-1)[..., 0]
-        ev_t = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        first = jnp.argmax(event, axis=0)
+        has_event = jnp.any(event, axis=0)
+        ev_accept = jnp.take_along_axis(accept, first[None, :],
+                                        axis=0)[0]
+        ev_t = jnp.take_along_axis(t, first[None, :], axis=0)[0]
         new = ~resolved & has_event
         res_hit = res_hit | (new & ev_accept)
         crossed = crossed | (new & ~ev_accept)
         t_res = jnp.where(new & ev_accept, ev_t, t_res)
         resolved = resolved | has_event
-        return (i + 1, E[..., -1], resolved, res_hit, crossed, t_res)
+        return (i + 1, E[-1], resolved, res_hit, crossed, t_res)
 
     def cond(carry):
         i, _, resolved, *_ = carry
@@ -428,9 +445,6 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     # superpose the two streams: earliest collision wins
     t_star = jnp.minimum(t_ctrl, t_res)
     hit = t_star <= tmax
-    # exit only when the residual stream actually crossed the end and the
-    # control stream produced no earlier collision (exhausted lanes keep
-    # volume_exit False, like the reference's 128-step cap)
     exited = ~hit & crossed & ~ctrl_hit
 
     u3 = _indexed_draws(seed, jnp.uint32(0), 1, salt=0x27D4EB2F)[..., 0]

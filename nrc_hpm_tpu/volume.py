@@ -194,11 +194,18 @@ def _build_macro(norm_grid: np.ndarray):
         sl_last[axis] = slice(-1, None)
         cmin[tuple(sl_first)] = 0.0
         cmin[tuple(sl_last)] = 0.0
-    dil, ero = cmax.copy(), cmin.copy()
+    # FACE (6-neighbor) dilation suffices for interval domination when the
+    # profile takes the max of BOTH interval endpoints: an interval of
+    # length <= one cell edge crosses at most one cell boundary per axis,
+    # and any interior cell is a face neighbor of one of the endpoints'
+    # cells.  Face-only dilation inflates the majorant far less than the
+    # full 3^3 dilation (fewer null-collision events).
+    dil = cmax.copy()
+    ero = cmin.copy()
     for axis in range(3):
-        p, n = _shift3(dil, axis, 0.0)
+        p, n = _shift3(cmax, axis, 0.0)
         dil = np.maximum(dil, np.maximum(p, n))
-        p, n = _shift3(ero, axis, 0.0)
+        p, n = _shift3(cmin, axis, 0.0)
         ero = np.minimum(ero, np.minimum(p, n))
     dil = dil * (1.0 + 1e-5) + 1e-7
     ero = np.minimum(ero, dil)
@@ -248,3 +255,55 @@ def macro_sigma(vol: Volume, pos: jax.Array) -> jax.Array:
            + idx[..., 2])
     val = small_table_lookup(vol.macro, lin)
     return jnp.where(inside_ext, val, 0.0) * vol.density_factor
+
+
+def get_density_xyz(vol: Volume, px, py, pz):
+    """get_density with SEPARATE coordinate arrays (any matching shape).
+
+    TPU layout: a stacked (..., 3) position tensor would be tile-padded
+    42x by the (8, 128) layout when materialized at a gather boundary;
+    planar coordinates keep every buffer dense."""
+    X, Y, Z = vol.dims
+    ux = px / vol.sky_size[0] + 0.5
+    uy = py / vol.sky_size[1] + 0.5
+    uz = pz / vol.sky_size[2] + 0.5
+    inside = ((ux >= 0.0) & (ux < 1.0) & (uy >= 0.0) & (uy < 1.0)
+              & (uz >= 0.0) & (uz < 1.0))
+    ix = jnp.clip(jnp.floor(ux * X).astype(jnp.int32), 0, X - 1)
+    iy = jnp.clip(jnp.floor(uy * Y).astype(jnp.int32), 0, Y - 1)
+    iz = jnp.clip(jnp.floor(uz * Z).astype(jnp.int32), 0, Z - 1)
+    lin = ix * (Y * Z) + iy * Z + iz
+    raw = jnp.take(vol.grid.reshape(-1), lin, axis=0)
+    if vol.grid.dtype == jnp.uint8:
+        val = raw.astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        val = raw.astype(jnp.float32)
+    return jnp.where(inside, val, 0.0) * vol.density_factor
+
+
+def _macro_lookup_xyz(vol: Volume, table, px, py, pz, margin: float):
+    from .ops.macro_gather import small_table_lookup
+
+    mx, my, mz = vol.macro_dims
+    cx = (px / vol.sky_size[0] + 0.5) * mx
+    cy = (py / vol.sky_size[1] + 0.5) * my
+    cz = (pz / vol.sky_size[2] + 0.5) * mz
+    inside = ((cx >= -margin) & (cx < mx + margin)
+              & (cy >= -margin) & (cy < my + margin)
+              & (cz >= -margin) & (cz < mz + margin))
+    ix = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, mx - 1)
+    iy = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, my - 1)
+    iz = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, mz - 1)
+    lin = ix * (my * mz) + iy * mz + iz
+    val = small_table_lookup(table, lin)
+    return jnp.where(inside, val, 0.0) * vol.density_factor
+
+
+def macro_sigma_xyz(vol: Volume, px, py, pz):
+    """macro_sigma on planar coordinates (one-cell outside margin)."""
+    return _macro_lookup_xyz(vol, vol.macro, px, py, pz, margin=1.0)
+
+
+def macro_control_xyz(vol: Volume, px, py, pz):
+    """macro_control on planar coordinates (strictly inside)."""
+    return _macro_lookup_xyz(vol, vol.macro_min, px, py, pz, margin=0.0)

@@ -90,3 +90,52 @@ def test_nrc_composite_adds_cache_radiance():
     b = np.asarray(s_off.image)[..., :3]
     # identical RNG: images differ only by the non-negative cache term
     assert (a - b >= -1e-5).all()
+
+
+def test_compact_matches_dense_primary():
+    """Compacted primary pass must agree with the dense one (identical
+    per-lane RNG; a handful of pixels may flip stochastic events due to
+    fp reassociation across shapes)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nrc_hpm_tpu.camera import Camera, pixel_rays
+    from nrc_hpm_tpu.integrator import TraceParams
+    from nrc_hpm_tpu.lights import LightFlags, lights_from_scene
+    from nrc_hpm_tpu.renderer import (_volume_from_config, primary_pass,
+                                      primary_pass_compact)
+    from nrc_hpm_tpu.utils import rng
+    cfg = _cfg()
+    vol = _volume_from_config(cfg)
+    lights = lights_from_scene(cfg.scene)
+    params = TraceParams(flags=LightFlags.from_scene(cfg.scene))
+    cam = Camera.reference_camera(aspect=2.0)
+    ro, rd, uv = pixel_rays(cam, 64, 32)
+    st = rng.init_state(uv, jnp.asarray([0.1, 0.2, 0.3, 0.4])).reshape(-1)
+    rdf = rd.reshape(-1, 3)
+    rof = jnp.broadcast_to(ro, rdf.shape)
+    dense = primary_pass(st, vol, lights, params, cfg, rof, rdf)
+    comp = primary_pass_compact(st, vol, lights, params, cfg, rof, rdf)
+    scat_d = np.asarray(dense["did_scatter"])
+    scat_c = np.asarray(comp["did_scatter"])
+    assert (scat_d == scat_c).mean() > 0.97
+    pc_d = np.asarray(dense["primary_color"])
+    pc_c = np.asarray(comp["primary_color"])
+    same = np.abs(pc_d - pc_c).max(axis=-1) < 1e-4
+    assert same.mean() > 0.95
+    # miss pixels are exactly the env color in both
+    assert pc_c[0, 0] == pytest.approx(0.1, abs=1e-5)
+
+
+def test_compact_overflow_falls_back_dense():
+    """Camera inside the cloud: every ray hits, count > capacity, and the
+    dense branch must produce a valid image."""
+    import jax.numpy as jnp
+    from nrc_hpm_tpu.renderer import NrcRenderer
+    from nrc_hpm_tpu.camera import Camera
+    r = NrcRenderer(_cfg())
+    cam = Camera.create((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), aspect=2.0)
+    state = r.step(r.init_state(4), cam, train=False)
+    img = np.asarray(state.image)
+    assert np.isfinite(img).all()
+    # inside the cloud, essentially everything scatters
+    assert (img[..., :3] >= 0).all()
