@@ -121,14 +121,17 @@ class NeuralRadianceCache:
             step=jnp.int32(0))
 
     # -- forward ------------------------------------------------------------
-    def apply(self, params: dict, x5: jax.Array) -> jax.Array:
-        feats = self.encoding(params["encoding"], x5)
+    def apply(self, params: dict, x5: jax.Array, packed=None) -> jax.Array:
+        feats = self.encoding(params["encoding"], x5, packed=packed)
         return mlp_apply(params["mlp"], feats, self.compute_dtype)
 
     def infer(self, state: NrcState, x5: jax.Array) -> jax.Array:
         """Batched inference with the EMA parameters (tcnn EMA optimizer
-        serves smoothed weights for inference)."""
-        return self.apply(state.ema_params, x5)
+        serves smoothed weights for inference).  The hash table is packed
+        to bf16 pairs on the fly — one gathered word per corner — matching
+        tcnn's half-precision inference parameters."""
+        packed = self.encoding.pack_params(state.ema_params["encoding"])
+        return self.apply(state.ema_params, x5, packed=packed or None)
 
     # -- training -----------------------------------------------------------
     def train_step(self, state: NrcState, x5: jax.Array, target: jax.Array,

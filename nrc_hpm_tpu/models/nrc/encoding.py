@@ -104,6 +104,22 @@ def hash_grid_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec
     dims like (..., L, 8, 3) would be tile-padded 16-64x by the (8, 128)
     TPU layout; the flat layout keeps every materialized buffer dense.
     """
+    idx, weight = _corner_indices(x, spec)
+
+    # Planar per-feature gathers keep every buffer (..., flat)-shaped, and
+    # the corner->level pooling runs as a matmul with a 0/1 selection
+    # matrix — a reshape-based reduction over (..., L, 2^d, F) would
+    # materialize 16x tile-padded temporaries (measured 15.8 GB at 1080p).
+    pool = _pool_matrix(spec)                              # (F*flat, L*F)
+    planes = [jnp.take(table[:, f], idx, axis=0) * weight
+              for f in range(spec.n_features)]
+    g = jnp.concatenate(planes, axis=-1)                   # (..., F*flat)
+    return jnp.matmul(g, pool, precision="highest")
+
+
+def _corner_indices(x: jax.Array, spec: HashGridSpec):
+    """(..., n_dims) positions -> (idx (..., L*2^d) int32 table rows,
+    weight (..., L*2^d) trilinear weights), flat-layout."""
     L = spec.n_levels
     ncor = 1 << spec.n_dims
     corners = _corner_offsets(spec.n_dims)                 # np (2^d, d)
@@ -123,7 +139,6 @@ def hash_grid_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec
            for d in range(spec.n_dims)]
 
     lead = x.shape[:-1]
-    idx = None
     weight = jnp.ones(lead + (flat,), jnp.float32)
     lin = jnp.zeros(lead + (flat,), jnp.int32)
     hsh = jnp.zeros(lead + (flat,), jnp.uint32)
@@ -141,14 +156,45 @@ def hash_grid_encode(table: jax.Array, x: jax.Array, spec: HashGridSpec
             if d else cd.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     idx = jnp.where(dense_f, lin,
                     (hsh % params_f).astype(jnp.int32)) + off_f
+    return idx, weight
 
-    # ONE row gather fetches all features of a corner (the TPU gather rate
-    # is per row); the (..., flat, F) output fuses into the weighted
-    # reduction, so its small trailing dim never materializes
-    fv = jnp.take(table, idx, axis=0)                      # (..., flat, F)
-    weighted = fv * weight[..., None]
-    feats = weighted.reshape(lead + (L, ncor, spec.n_features)).sum(axis=-2)
-    return feats.reshape(lead + (L * spec.n_features,))
+
+def _pool_matrix(spec: HashGridSpec):
+    """(F*L*2^d, L*F) 0/1 matrix summing each level's corners into the
+    interleaved (level, feature) output layout."""
+    L, ncor, F = spec.n_levels, 1 << spec.n_dims, spec.n_features
+    m = np.zeros((F * L * ncor, L * F), np.float32)
+    for f in range(F):
+        for l in range(L):
+            for c in range(ncor):
+                m[f * L * ncor + l * ncor + c, l * F + f] = 1.0
+    return jnp.asarray(m)
+
+
+def pack_table_bf16(table: jax.Array) -> jax.Array:
+    """(P, 2) f32 feature table -> (P,) uint32 with both features packed as
+    bf16 halves: the inference path then needs ONE element gather per
+    corner instead of two (feature precision matches tcnn's fp16 params)."""
+    b0 = jax.lax.bitcast_convert_type(
+        table[:, 0].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    b1 = jax.lax.bitcast_convert_type(
+        table[:, 1].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return (b0 << 16) | b1
+
+
+def hash_grid_encode_packed(packed: jax.Array, x: jax.Array,
+                            spec: HashGridSpec) -> jax.Array:
+    """hash_grid_encode against a pack_table_bf16 table — single gather."""
+    assert spec.n_features == 2, "packed path assumes 2 features"
+    idx, weight = _corner_indices(x, spec)
+    g = jnp.take(packed, idx, axis=0)                      # (..., flat) u32
+    f0 = jax.lax.bitcast_convert_type(
+        (g >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(
+        (g & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    pool = _pool_matrix(spec)
+    gcat = jnp.concatenate([f0 * weight, f1 * weight], axis=-1)
+    return jnp.matmul(gcat, pool, precision="highest")
 
 
 def one_blob_encode(x: jax.Array, n_bins: int) -> jax.Array:
@@ -226,14 +272,28 @@ class CompositeEncoding:
             return {"hash_table": init_hash_grid(key, self.grid_spec)}
         return {}
 
-    def __call__(self, params, x5: jax.Array) -> jax.Array:
-        """x5: (..., 5) -> (..., out_dim) encoded features."""
+    def pack_params(self, params):
+        """Precompute the bf16-packed hash table for fast inference."""
+        if self.grid_spec is None:
+            return {}
+        return {"hash_table_packed": pack_table_bf16(params["hash_table"])}
+
+    def __call__(self, params, x5: jax.Array, packed=None) -> jax.Array:
+        """x5: (..., 5) -> (..., out_dim) encoded features.
+
+        With ``packed`` (from pack_params), the hash-grid gather uses the
+        single-word bf16-packed table — half the gather traffic; use for
+        inference only (no gradients through the packed table)."""
         pos = x5[..., :3]
         direction = x5[..., 3:5]
         cfg = self.cfg
         if cfg.pos_id == 0:
-            pos_f = hash_grid_encode(params["hash_table"], pos,
-                                     self.grid_spec)
+            if packed is not None:
+                pos_f = hash_grid_encode_packed(
+                    packed["hash_table_packed"], pos, self.grid_spec)
+            else:
+                pos_f = hash_grid_encode(params["hash_table"], pos,
+                                         self.grid_spec)
         elif cfg.pos_id == 1:
             pos_f = pos
         elif cfg.pos_id == 2:

@@ -116,3 +116,17 @@ def test_composite_invalid_ids():
         CompositeEncoding(EncodingConfig(pos_id=9))
     with pytest.raises(ValueError):
         CompositeEncoding(EncodingConfig(dir_id=9))
+
+
+def test_packed_encode_matches_f32():
+    from nrc_hpm_tpu.models.nrc.encoding import (hash_grid_encode,
+                                                 hash_grid_encode_packed,
+                                                 pack_table_bf16)
+    spec = HashGridSpec(n_levels=4, log2_table_size=12)
+    table = init_hash_grid(jax.random.PRNGKey(0), spec) * 100  # O(1e-2)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    a = np.asarray(hash_grid_encode(table, x, spec))
+    b = np.asarray(hash_grid_encode_packed(pack_table_bf16(table), x, spec))
+    # bf16 features: ~3 decimal digits
+    assert np.abs(a - b).max() < 1e-2 * max(1.0, np.abs(a).max())
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
