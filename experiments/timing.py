@@ -1,0 +1,75 @@
+"""Shared timing harness for TPU experiments.
+
+The axon tunnel acks ``block_until_ready`` before device execution actually
+finishes (measured: 5 queued identical 2M-sample infers "complete" in
+0.2 ms; forcing a data dependency between them shows ~500 ms each).  The
+only trustworthy protocol is to run ``n`` iterations inside ONE jitted
+program with a serializing data dependency, block once, and divide.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_timeit(name, fn, *args, n=3, warmup=True):
+    """Time ``fn(*args)`` by scanning n chained iterations in one jit.
+
+    A scalar token derived from each iteration's output is folded into the
+    first float input of the next iteration (+0.0 at runtime), forcing
+    sequential execution on device.  Prints mean ms per iteration.
+    """
+
+    def tok_of(out):
+        leaves = [l for l in jax.tree.leaves(out)
+                  if hasattr(l, "dtype")]
+        t = jnp.float32(0.0)
+        for l in leaves:
+            v = jnp.ravel(l)[0]
+            if jnp.issubdtype(l.dtype, jnp.floating):
+                t = t + v.astype(jnp.float32)
+            elif jnp.issubdtype(l.dtype, jnp.integer):
+                t = t + v.astype(jnp.float32)
+            else:
+                t = t + v.astype(jnp.float32)
+        # collapse to a runtime 0 that XLA cannot constant-fold
+        return t * 0.0 + jnp.where(jnp.isnan(t), 0.0, 0.0)
+
+    def perturb(a, tok):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a + tok.astype(a.dtype)
+        return a
+
+    @jax.jit
+    def run(args):
+        def body(tok, _):
+            cur = list(args)
+            # fold the token into every float leaf of the first arg
+            cur[0] = jax.tree.map(lambda a: perturb(a, tok), cur[0])
+            out = fn(*cur)
+            return tok_of(out), 0
+        tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return tok
+
+    if warmup:
+        jax.block_until_ready(run(args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(args))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:<44s} {dt*1e3:9.2f} ms", flush=True)
+    return dt
+
+
+def wall_timeit(name, fn, *args, n=3, warmup=1):
+    """Wall-clock with per-call block (includes tunnel latency; use only
+    for full frames where the state chains naturally)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = jax.block_until_ready(fn(*args))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:<44s} {dt*1e3:9.2f} ms", flush=True)
+    return out

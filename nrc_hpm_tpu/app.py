@@ -38,7 +38,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
-    p.add_argument("--renderer", choices=("nrc", "mc", "both"),
+    p.add_argument("--renderer", choices=("nrc", "mc", "both", "restir"),
                    default="both")
     p.add_argument("--benchmark-every", type=int, default=1,
                    help="compare against the golden every K frames "
@@ -116,6 +116,11 @@ def main(argv=None) -> int:
     if args.renderer in ("mc", "both"):
         mc_renderer = McRenderer(cfg)
         mc_state = mc_renderer.init_state(0)
+    restir_renderer = restir_state = None
+    if args.renderer == "restir":
+        from .models.restir import RestirRenderer
+        restir_renderer = RestirRenderer(cfg)
+        restir_state = restir_renderer.init_state(0)
 
     train = not args.no_train
     t_start = time.time()
@@ -125,10 +130,14 @@ def main(argv=None) -> int:
             nrc_state = nrc_renderer.step(nrc_state, cam, train=train)
         if mc_renderer is not None:
             mc_state = mc_renderer.step(mc_state, cam)
+        if restir_renderer is not None:
+            restir_state = restir_renderer.step(restir_state, cam)
         if nrc_renderer is not None:
             jax.block_until_ready(nrc_state.image)
         if mc_renderer is not None:
             jax.block_until_ready(mc_state.image)
+        if restir_renderer is not None:
+            jax.block_until_ready(restir_state.image)
         frame_ms = (time.time() - t0) * 1000.0
 
         loss = float(nrc_state.nrc.loss) if nrc_renderer is not None else None
@@ -168,6 +177,9 @@ def main(argv=None) -> int:
         if mc_state is not None:
             write_exr(os.path.join(out_dir, "mc.exr"),
                       np.asarray(mc_state.image))
+        if restir_state is not None:
+            write_exr(os.path.join(out_dir, "restir.exr"),
+                      np.asarray(restir_state.image))
         print(f"exported EXRs to {out_dir}")
 
     if args.checkpoint and nrc_state is not None:

@@ -87,6 +87,19 @@ class SceneConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RestirConfig:
+    """ReSTIR path-reservoir parameters — the spec constants of
+    data/shader/include/restir-constants.glsl:1-11.  The reference's
+    RestirHpmRenderer is entirely commented out (src/RestirHpmRenderer.cpp
+    is one block comment, SURVEY §2.5); this build makes the shader
+    pipeline operational."""
+
+    path_vertex_count: int = 8
+    spatial_kernel_size: int = 3
+    temporal_kernel_size: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh / sharding configuration (new capability; the reference is
     single-GPU with no distributed anything — SURVEY.md §5)."""
@@ -132,6 +145,9 @@ class AppConfig:
     # Render target (main.cu:156-157)
     render_width: int = 1920
     render_height: int = 1080
+
+    # ReSTIR renderer constants (restir-constants.glsl)
+    restir: RestirConfig = dataclasses.field(default_factory=RestirConfig)
 
     # TPU-specific knobs -----------------------------------------------------
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

@@ -75,9 +75,15 @@ class TraceParams:
 
 
 def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
-                pos, direction, active):
+                pos, direction, active, env_dir=None):
     """TraceScene(pos, dir) (path_trace.glsl:133-137): direct lighting at a
-    scatter point. Returns (rgb (..., 3), new_state)."""
+    scatter point. Returns (rgb (..., 3), new_state).
+
+    With ``env_dir`` set this is the 3-arg overload
+    TraceScene(pos, dir, hdrEnvMapUniformDir) (path_trace.glsl:139-148) used
+    by the ReSTIR shading pass: the environment term uses the SUPPLIED
+    direction with a 16-step fixed transmittance instead of drawing a fresh
+    random direction with ratio tracking."""
     total = jnp.zeros(pos.shape, pos.dtype)
 
     if p.flags.dir_on:
@@ -105,17 +111,27 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
         total = total + pl.color * (pl.strength * trans * phase)[..., None]
 
     if p.flags.env_on:
-        # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one random
-        # direction from the reference's uniform-in-polar-angle sampler,
-        # phase-weighted, ratio-tracked to the box exit.
-        rand_dir, state = new_ray_dir(state, direction, vol.g,
-                                      phase_sampling=False, active=active)
-        phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
-        _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
-        trans, state = p.ratio_track(state, vol, pos, exit_pt,
-                                     p.max_track_steps, active=active)
-        env = sample_env_map(lights.env, rand_dir)
-        total = total + env * (phase * trans)[..., None]
+        if env_dir is not None:
+            # 3-arg TraceScene (path_trace.glsl:139-148): env light from the
+            # stored per-vertex direction, 16-step fixed transmittance.
+            from .transmittance import fixed_step_transmittance
+            _, exit_pt, _ = find_entry_exit(vol, pos, env_dir)
+            trans = fixed_step_transmittance(vol, pos, exit_pt, 16)
+            phase = hg_phase(jnp.sum(-direction * env_dir, axis=-1), vol.g)
+            env = sample_env_map(lights.env, env_dir)
+            total = total + env * (trans * phase)[..., None]
+        else:
+            # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one
+            # random direction from the reference's uniform-in-polar-angle
+            # sampler, phase-weighted, ratio-tracked to the box exit.
+            rand_dir, state = new_ray_dir(state, direction, vol.g,
+                                          phase_sampling=False, active=active)
+            phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
+            _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
+            trans, state = p.ratio_track(state, vol, pos, exit_pt,
+                                         p.max_track_steps, active=active)
+            env = sample_env_map(lights.env, rand_dir)
+            total = total + env * (phase * trans)[..., None]
 
     return total, state
 

@@ -345,22 +345,19 @@ class NrcRenderer:
         """Batched inference with empty-batch skip — the reference's
         NrcInferFilter: batches of ``infer_batch_size`` whose pixels all
         missed are skipped (their output stays zero, matching the zero-fill
-        of the infer buffers in NrcHpmRenderer.cu:1996-2000)."""
+        of the infer buffers in NrcHpmRenderer.cu:1996-2000).
+
+        On TPU the dense batched encode+MLP over ALL pixels runs at MXU
+        rate (~0.2 ms for 2M samples) while any compaction/cond machinery
+        costs 1000x that in gather/scatter/bookkeeping — so for large
+        batches we infer densely and zero the non-scattered outputs, which
+        is observably identical to the reference (outputs of skipped
+        batches are zero; outputs of never-scattered pixels are never read
+        by the composite, nrc/render.comp:33-37)."""
         n = x5.shape[0]
         if self.cfg.infer_compact and n >= 4096:
-            # compact to scattered pixels only (zeros elsewhere, matching
-            # the reference's zero-filled infer buffers); the overflow
-            # fallback chunks to bound encode intermediates
-            def fn(x):
-                return (self.cache.infer(nrc_state, x),)
-
-            def dense(x):
-                return (_map_chunks(
-                    lambda xc: self.cache.infer(nrc_state, xc), 16, x),)
-
-            (out,) = compact_apply(fn, scat, (x5,), [(3,)], n // 2,
-                                   dense_fn=dense)
-            return out
+            out = self.cache.infer(nrc_state, x5)
+            return jnp.where(scat[..., None], out, 0.0)
         b = min(self.cfg.infer_batch_size, n)
         if not self.cfg.infer_filter or n == b:
             return self.cache.infer(nrc_state, x5)

@@ -1,0 +1,138 @@
+"""ReSTIR renderer tests (data/shader/restir/* made operational)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrc_hpm_tpu.camera import Camera
+from nrc_hpm_tpu.config import AppConfig, RestirConfig, SceneConfig
+from nrc_hpm_tpu.models.restir import (RestirRenderer, _local_init,
+                                       _temporal_reuse, _shade)
+from nrc_hpm_tpu.integrator import TraceParams
+from nrc_hpm_tpu.lights import LightFlags, lights_from_scene
+from nrc_hpm_tpu.utils import rng
+
+
+W, H = 48, 32
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    cfg = AppConfig(
+        scene=SceneConfig.preset(4), render_width=W, render_height=H,
+        restir=RestirConfig(path_vertex_count=4, spatial_kernel_size=3,
+                            temporal_kernel_size=2))
+    return RestirRenderer(cfg)
+
+
+def test_restir_frame_basics(renderer):
+    cam = Camera.reference_camera(aspect=W / H)
+    img = np.asarray(renderer.render(cam, frames=2))
+    assert img.shape == (H, W, 4)
+    assert np.isfinite(img).all()
+    # border rays miss the box -> background env color (scene 4 strength)
+    assert img[0, 0, 0] == pytest.approx(0.1, abs=1e-5)
+    # alpha channel is the path transmittance in [0, 1]
+    assert (img[..., 3] >= 0).all() and (img[..., 3] <= 1).all()
+
+
+def test_restir_state_evolves(renderer):
+    cam = Camera.reference_camera(aspect=W / H)
+    st = renderer.init_state(0)
+    st1 = renderer.step(st, cam)
+    frame1 = int(st1.frame)  # read before st1 is donated to the next step
+    st2 = renderer.step(st1, cam)
+    assert frame1 == 1 and int(st2.frame) == 2
+    scat = np.asarray(st2.pixel_info[..., 3])
+    assert set(np.unique(scat)) <= {0.0, 1.0}
+    assert scat.sum() > 0  # something scatters in the cloud
+    # scattered pixels advanced their RIS stream past the init value 1
+    stream = np.asarray(st2.stats[..., 0])
+    v = renderer.n_vertices
+    t = renderer.temporal_kernel
+    expected_min = 1 + t * (v - 1)  # temporal candidates always examined
+    assert (stream[scat == 1.0] >= expected_min).all()
+    # non-scattered pixels never advance the stream
+    assert (stream[scat == 0.0] == 1.0).all()
+
+
+def test_restir_miss_pixels_keep_reservoir(renderer):
+    """local_init leaves the reservoir untouched for rays that miss the
+    volume box (the shader returns before GenPath)."""
+    n = 6
+    # rays starting outside the box, pointing away: guaranteed miss
+    ro = jnp.broadcast_to(jnp.asarray([500.0, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    prev = jnp.full((n, renderer.n_vertices, 6), 7.5)
+    rs = rng.init_state(jnp.zeros((n, 2)), jnp.ones((4,)))
+    res, info, stats, _ = _local_init(rs, renderer.vol, renderer.lights,
+                                      ro, rd, prev, renderer.n_vertices)
+    np.testing.assert_array_equal(np.asarray(res), 7.5)
+    assert (np.asarray(info[..., 3]) == 0.0).all()
+    # stats reset to stream=1, exchange=0 (local_init.comp:86-87)
+    np.testing.assert_array_equal(np.asarray(stats[..., 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(stats[..., 1]), 0.0)
+
+
+def test_restir_exchange_vertex_in_range(renderer):
+    cam = Camera.reference_camera(aspect=W / H)
+    st = renderer.init_state(1)
+    for _ in range(3):
+        st = renderer.step(st, cam)
+    ex = np.asarray(st.stats[..., 1])
+    assert (ex >= 0).all() and (ex < renderer.n_vertices).all()
+
+
+def test_restir_vertices_inside_box(renderer):
+    """Path vertices of scattered pixels stay in world space near the box
+    (entry + bounded random-walk steps)."""
+    cam = Camera.reference_camera(aspect=W / H)
+    st = renderer.init_state(0)
+    st = renderer.step(st, cam)
+    scat = np.asarray(st.pixel_info[..., 3]) == 1.0
+    pos = np.asarray(st.reservoir[..., :3])[scat]
+    sky = np.asarray(renderer.vol.sky_size)
+    assert (np.abs(pos) <= sky * 1.5 + 1e-3).all()
+
+
+def test_shade_background_passthrough():
+    """Pixels that shade nothing return the stored background color."""
+    cfg = AppConfig(scene=SceneConfig.preset(4), render_width=8,
+                    render_height=8,
+                    restir=RestirConfig(path_vertex_count=3))
+    r = RestirRenderer(cfg)
+    st = r.init_state(0)
+    # hand-build: no pixel scattered, background = 0.25
+    pixel_info = jnp.concatenate(
+        [jnp.full((8, 8, 3), 0.25), jnp.zeros((8, 8, 1))], axis=-1)
+    params = TraceParams(flags=LightFlags.from_scene(cfg.scene))
+    rs = rng.init_state(jnp.zeros((8, 8, 2)), jnp.ones((4,)))
+    img, _ = _shade(rs, r.vol, r.lights, params, st.reservoir, st.stats,
+                    pixel_info, 3)
+    np.testing.assert_allclose(np.asarray(img[..., :3]), 0.25)
+    np.testing.assert_allclose(np.asarray(img[..., 3]), 1.0)
+
+
+def test_temporal_reuse_noop_on_frame0():
+    """Frame 0 has no history: reservoirs must pass through unchanged."""
+    h, w, v, t = 4, 4, 3, 2
+    res = jax.random.uniform(jax.random.PRNGKey(0), (h, w, v, 6))
+    old = jnp.zeros((t, h, w, v, 6))
+    stats = jnp.stack([jnp.ones((h, w)), jnp.zeros((h, w))], axis=-1)
+    info = jnp.concatenate(
+        [jnp.zeros((h, w, 3)), jnp.ones((h, w, 1))], axis=-1)
+    rs = rng.init_state(jnp.zeros((h, w, 2)), jnp.ones((4,)))
+    out_res, out_old, out_stats, _ = _temporal_reuse(
+        rs, res, old, stats, info, jnp.int32(0), v, t)
+    np.testing.assert_array_equal(np.asarray(out_res), np.asarray(res))
+    np.testing.assert_array_equal(np.asarray(out_old), np.asarray(old))
+    # the stream still advanced for scattered pixels
+    assert (np.asarray(out_stats[..., 0]) == 1 + t * (v - 1)).all()
+
+
+def test_restir_config_defaults():
+    cfg = AppConfig()
+    assert cfg.restir.path_vertex_count == 8
+    assert cfg.restir.spatial_kernel_size == 3
+    assert cfg.restir.temporal_kernel_size == 2
