@@ -22,19 +22,16 @@ def chain_timeit(name, fn, *args, n=3, warmup=True):
     """
 
     def tok_of(out):
-        leaves = [l for l in jax.tree.leaves(out)
-                  if hasattr(l, "dtype")]
+        # FULL reduction over every output leaf: a token built from a
+        # single element lets XLA slice the whole iteration down to the
+        # one-element dependency cone (measured: a 137-GFLOP matmul "ran"
+        # in 0.02 ms that way).  jnp.sum forces materializing everything.
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
         t = jnp.float32(0.0)
         for l in leaves:
-            v = jnp.ravel(l)[0]
-            if jnp.issubdtype(l.dtype, jnp.floating):
-                t = t + v.astype(jnp.float32)
-            elif jnp.issubdtype(l.dtype, jnp.integer):
-                t = t + v.astype(jnp.float32)
-            else:
-                t = t + v.astype(jnp.float32)
+            t = t + jnp.sum(l).astype(jnp.float32)
         # collapse to a runtime 0 that XLA cannot constant-fold
-        return t * 0.0 + jnp.where(jnp.isnan(t), 0.0, 0.0)
+        return t * 0.0
 
     def perturb(a, tok):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
@@ -53,9 +50,9 @@ def chain_timeit(name, fn, *args, n=3, warmup=True):
         return tok
 
     if warmup:
-        jax.block_until_ready(run(args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
+        float(run(args))  # D2H fetch: the tunnel acks block_until_ready
+    t0 = time.perf_counter()  # before execution finishes; a value fetch
+    float(run(args))          # cannot be served early
     dt = (time.perf_counter() - t0) / n
     print(f"{name:<44s} {dt*1e3:9.2f} ms", flush=True)
     return dt

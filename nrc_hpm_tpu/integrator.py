@@ -50,8 +50,11 @@ class TraceParams:
     #   "fast" segment-vectorized global-majorant tracking
     #   "seq"  per-step loops mirroring the reference's control flow
     mode: str = "pw"
-    # events/steps per vectorized segment
-    segment: int = 16
+    # events/steps per vectorized segment — the tracking loops' density
+    # gather volume is S x N per iteration at ~110M lookups/s, so a small
+    # segment wins whenever most lanes resolve within a few events (the
+    # piecewise majorant makes expected events ~ optical depth, O(1-3))
+    segment: int = 8
     # coarse majorant samples per track call (pw mode)
     coarse: int = 32
 

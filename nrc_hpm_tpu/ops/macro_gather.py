@@ -64,8 +64,10 @@ def small_table_lookup(table: jax.Array, idx: jax.Array) -> jax.Array:
     [0, T). Returns table[idx] as float32.
 
     Uses the Pallas kernel on TPU; falls back to jnp.take elsewhere."""
+    import os
     use_kernel = (jax.default_backend() == "tpu"
-                  and table.shape[0] <= MAX_ROWS * LANES)
+                  and table.shape[0] <= MAX_ROWS * LANES
+                  and not os.environ.get("NRC_NO_PALLAS"))
     if not use_kernel:
         return jnp.take(table, idx, axis=0)
 

@@ -347,17 +347,27 @@ class NrcRenderer:
         missed are skipped (their output stays zero, matching the zero-fill
         of the infer buffers in NrcHpmRenderer.cu:1996-2000).
 
-        On TPU the dense batched encode+MLP over ALL pixels runs at MXU
-        rate (~0.2 ms for 2M samples) while any compaction/cond machinery
-        costs 1000x that in gather/scatter/bookkeeping — so for large
-        batches we infer densely and zero the non-scattered outputs, which
-        is observably identical to the reference (outputs of skipped
-        batches are zero; outputs of never-scattered pixels are never read
-        by the composite, nrc/render.comp:33-37)."""
+        The hash-grid encode is gather-bound (~110M table lookups/s on
+        TPU, 128 lookups/sample), so inference cost scales with SAMPLE
+        COUNT: compacting to the scattered pixels (~28% of the screen)
+        wins big, and the compaction gather/scatter itself is cheap row
+        traffic.  Outputs of non-scattered pixels are zero, observably
+        identical to the reference (zero-filled infer buffers + per-batch
+        skip, NrcHpmRenderer.cu:1996-2000)."""
         n = x5.shape[0]
         if self.cfg.infer_compact and n >= 4096:
-            out = self.cache.infer(nrc_state, x5)
-            return jnp.where(scat[..., None], out, 0.0)
+            # compact to scattered pixels only; the overflow fallback
+            # chunks to bound encode intermediates
+            def fn(x):
+                return (self.cache.infer(nrc_state, x),)
+
+            def dense(x):
+                return (_map_chunks(
+                    lambda xc: self.cache.infer(nrc_state, xc), 16, x),)
+
+            (out,) = compact_apply(fn, scat, (x5,), [(3,)], n // 2,
+                                   dense_fn=dense)
+            return out
         b = min(self.cfg.infer_batch_size, n)
         if not self.cfg.infer_filter or n == b:
             return self.cache.infer(nrc_state, x5)

@@ -316,34 +316,26 @@ def _coarse_profile(vol: Volume, start, direction, tmax, C: int):
 def _map_events(E, cum, h, fields):
     """Invert the piecewise-linear cumulative depth at event depths E
     (S, N): returns (t (S, N), beyond (S, N), [field_at_event...]).
-    ``fields`` entries are (C, N) per-interval arrays.
-
-    The containing interval (first c with cum[c] > E, skipping zero-depth
-    intervals) is found by per-lane binary search + take_along_axis
-    gathers: O(S*logC*N) gather work instead of the O(S*C*N) membership
-    tensor a select-and-reduce would materialize (4+ GB per call at 1080p
-    lanes — measured as THE frame bottleneck)."""
+    ``fields`` entries are (C, N) per-interval arrays.  Selection uses a
+    fused (S, C, N) membership reduction — measured 4.3 ms at 256K lanes
+    (XLA fuses the broadcast-compare-reduce into a C-deep register loop),
+    vs 388 ms for a take_along_axis binary search: TPU gathers run at only
+    ~110M elem/s, so VPU select-reduces beat index arithmetic here."""
     C = cum.shape[0]
     cum_left = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
+    # membership: interval c contains E iff cum_left_c <= E < cum_c
+    ge = E[:, None, :] >= cum_left[None]
+    lt = E[:, None, :] < cum[None]
+    ind = ge & lt                                   # (S, C, N)
     beyond = E >= cum[-1][None, :]
 
-    lo = jnp.zeros(E.shape, jnp.int32)
-    hi = jnp.full(E.shape, C, jnp.int32)
-    for _ in range(max(1, (C + 1).bit_length())):
-        mid = (lo + hi) // 2
-        cm = jnp.take_along_axis(cum, jnp.clip(mid, 0, C - 1), axis=0)
-        go_right = cm <= E
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    idx = jnp.clip(hi, 0, C - 1)
-
     def sel(f):
-        return jnp.take_along_axis(f, idx, axis=0)
+        return jnp.sum(jnp.where(ind, f[None], 0.0), axis=1)
 
     t_left = jnp.arange(C, dtype=jnp.float32)[:, None] * h[None, :]
     rate = jnp.maximum((cum - cum_left) / jnp.maximum(h[None, :], 1e-20),
                        1e-12)
-    t = sel(t_left) + (E - sel(cum_left)) / sel(rate)
+    t = sel(t_left) + (E - sel(cum_left)) / jnp.maximum(sel(rate), 1e-12)
     outs = [sel(f) for f in fields]
     return t, beyond, outs
 
