@@ -163,18 +163,23 @@ class AppConfig:
     mlp_dtype: str = "bfloat16"
     # Ray-batch chunking: the per-pixel trace runs as lax.map over this many
     # chunks so chunks whose rays all miss (or resolve early) skip their
-    # tracking segments entirely — the TPU analog of not launching warps
-    # for dead pixels. 1 disables. Must divide the pixel count.
-    trace_chunks: int = 16
+    # tracking segments entirely. 1 disables. Must divide the pixel count.
+    # Default 1 since round 2: lane/event compaction (ops/compaction.py,
+    # transmittance.py stages) removes dead-lane cost WITHIN one batch, and
+    # chunking only adds loop latency once compaction is on.
+    trace_chunks: int = 1
     # Skip NRC inference for batches with no scattered samples — the
     # reference's NrcInferFilter (prep_infer_rays.comp:44-45,
     # NeuralRadianceCache.cu:134-145) rebuilt as a lax.cond per batch.
     infer_filter: bool = True
     # Compaction: trace only box-hitting rays / encode only scattered
-    # pixels, at a static capacity of half the screen with a dense
-    # lax.cond fallback when more lanes are live.
+    # pixels, with a dense lax.cond fallback when more lanes are live.
     compact: bool = True
     infer_compact: bool = True
+    # Static capacity of the scattered-pixel inference compaction as a
+    # fraction of the screen (measured scatter fraction on the WDAS cloud
+    # reference view is 0.22 — experiments/event_stats.py).
+    infer_compact_frac: float = 0.30
 
     # ------------------------------------------------------------------
     @property

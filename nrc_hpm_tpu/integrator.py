@@ -32,8 +32,9 @@ import functools
 
 from .lights import LightFlags, Lights, sample_env_map
 from .sampling import hg_phase, new_ray_dir
-from .transmittance import (delta_track, delta_track_fast, delta_track_pw,
-                            ratio_track, ratio_track_fast, ratio_track_pw)
+from .transmittance import (COMPACT_MIN_LANES, delta_track, delta_track_fast,
+                            delta_track_pw, ratio_track, ratio_track_fast,
+                            ratio_track_pw)
 from .utils import rng
 from .volume import Volume, find_entry_exit
 
@@ -57,12 +58,24 @@ class TraceParams:
     segment: int = 8
     # coarse majorant samples per track call (pw mode)
     coarse: int = 32
+    # staged compaction of the unresolved tail inside the pw event loops
+    # (transmittance.RATIO_STAGES / DELTA_STAGES)
+    event_compact: bool = True
+    # per-bounce lane compaction in trace_path: after the first delta-track
+    # most lanes have exited the volume (~22% scatter on the WDAS cloud,
+    # experiments/event_stats.py), so later bounces run on a compacted lane
+    # set of at most this fraction (lax.cond dense fallback).  0 disables.
+    # The scene (direct-lighting) phase compacts on the post-delta alive
+    # set, which is smaller — it gets its own tighter capacity.
+    bounce_compact_frac: float = 0.40
+    scene_compact_frac: float = 0.28
 
     @property
     def ratio_track(self):
         if self.mode == "pw":
             return functools.partial(ratio_track_pw, segment=self.segment,
-                                     coarse=self.coarse)
+                                     coarse=self.coarse,
+                                     compact=self.event_compact)
         if self.mode == "fast":
             return functools.partial(ratio_track_fast, segment=self.segment)
         return ratio_track
@@ -71,7 +84,8 @@ class TraceParams:
     def delta_track(self):
         if self.mode == "pw":
             return functools.partial(delta_track_pw, segment=self.segment,
-                                     coarse=self.coarse)
+                                     coarse=self.coarse,
+                                     compact=self.event_compact)
         if self.mode == "fast":
             return functools.partial(delta_track_fast, segment=self.segment)
         return delta_track
@@ -169,8 +183,7 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
     scat0 = jnp.zeros(ro.shape[:-1], bool)
     alive0 = active
 
-    def body(i, carry):
-        point, direction, radiance, factor, scattered, alive, state = carry
+    def phase_delta(point, direction, alive, state):
         # Find new point (DeltaTrack)
         new_point, exited, state = p.delta_track(
             state, vol, point, direction, p.max_track_steps, active=alive)
@@ -178,8 +191,9 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
         # exit lanes still expose the random fallback point as the terminal
         point = jnp.where(alive[..., None], new_point, point)
         alive = alive & ~exited
-        scattered = scattered | alive
+        return point, alive, state
 
+    def phase_scene(i, point, direction, radiance, factor, alive, state):
         factor = jnp.where(alive, factor * 0.5, factor)
         light, state = trace_scene(state, vol, lights, p,
                                    point, direction, alive)
@@ -197,6 +211,69 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
             u, state = rng.masked_uniform(state, test)
             terminate = test & ((u >= primary_ray_prob) | (i == 128))
             alive = alive & ~terminate
+        return direction, radiance, factor, alive, state
+
+    n_lanes = ro.shape[0] if ro.ndim == 2 else 0
+    use_compact = (p.bounce_compact_frac > 0 and ro.ndim == 2
+                   and n_lanes >= COMPACT_MIN_LANES)
+    cap_delta = max(int(n_lanes * p.bounce_compact_frac), 128) \
+        if use_compact else 0
+    cap_scene = max(int(n_lanes * p.scene_compact_frac), 128) \
+        if use_compact else 0
+
+    def _compacted(mask, arrays, fn, cap):
+        """Run fn on the mask-compacted lanes (dense fallback on overflow);
+        fn maps the gathered arrays to updated versions of themselves.
+        Dead lanes keep their values verbatim — their RNG chains stop
+        advancing, a documented divergence from the dense path that only
+        affects which (equally random) uniforms later samples see."""
+        count = jnp.sum(mask)
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=n_lanes)
+
+        def compact_branch(arrays):
+            gathered = [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+                        for a in arrays]
+            out = fn(*gathered)
+            return tuple(a.at[idx].set(o, mode="drop")
+                         for a, o in zip(arrays, out))
+
+        def dense_branch(arrays):
+            return tuple(fn(*arrays))
+
+        return jax.lax.cond(count <= cap, compact_branch, dense_branch,
+                            tuple(arrays))
+
+    def body(i, carry):
+        point, direction, radiance, factor, scattered, alive, state = carry
+
+        # The bounce runs in two separately compacted phases: the delta
+        # phase on lanes alive at bounce start, the scene phase on the
+        # (often much smaller) set that actually scattered — on the WDAS
+        # cloud only ~22% of primary rays scatter, so direct lighting
+        # never runs at screen width.
+        def d_fn(pt, d, al, st):
+            pt2, al2, st2 = phase_delta(pt, d, al, st)
+            return pt2, d, al2, st2
+
+        def s_fn(pt, d, r, f, al, st):
+            d2, r2, f2, al2, st2 = phase_scene(i, pt, d, r, f, al, st)
+            return pt, d2, r2, f2, al2, st2
+
+        if use_compact:
+            point, direction, alive, state = _compacted(
+                alive, (point, direction, alive, state), d_fn, cap_delta)
+        else:
+            point, direction, alive, state = d_fn(
+                point, direction, alive, state)
+        scattered = scattered | alive
+
+        if use_compact:
+            point, direction, radiance, factor, alive, state = _compacted(
+                alive, (point, direction, radiance, factor, alive, state),
+                s_fn, cap_scene)
+        else:
+            point, direction, radiance, factor, alive, state = s_fn(
+                point, direction, radiance, factor, alive, state)
         return point, direction, radiance, factor, scattered, alive, state
 
     carry = (entry, rd, radiance0, factor0, scat0, alive0, state)

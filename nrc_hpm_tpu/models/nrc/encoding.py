@@ -24,11 +24,14 @@ integral rather than tcnn's quartic kernel approximation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ...config import EncodingConfig
 
@@ -186,6 +189,8 @@ def hash_grid_encode_packed(packed: jax.Array, x: jax.Array,
                             spec: HashGridSpec) -> jax.Array:
     """hash_grid_encode against a pack_table_bf16 table — single gather."""
     assert spec.n_features == 2, "packed path assumes 2 features"
+    if _use_grouped_rowsweep(x, spec):
+        return _hash_grid_encode_rowsweep(packed, x, spec)
     idx, weight = _corner_indices(x, spec)
     g = jnp.take(packed, idx, axis=0)                      # (..., flat) u32
     f0 = jax.lax.bitcast_convert_type(
@@ -195,6 +200,163 @@ def hash_grid_encode_packed(packed: jax.Array, x: jax.Array,
     pool = _pool_matrix(spec)
     gcat = jnp.concatenate([f0 * weight, f1 * weight], axis=-1)
     return jnp.matmul(gcat, pool, precision="highest")
+
+
+# ---------------------------------------------------------------------------
+# Grouped per-level rowsweep encode — the TPU inference fast path
+# ---------------------------------------------------------------------------
+#
+# XLA's random gather issues ~1 lookup / 7.5 cycles; the only vector-rate
+# alternative on TPU is the in-register 128-lane gather, served by sweeping
+# a table's (R, 128) rows through the window (ops/table_gather.py).  Sweep
+# cost is O(lookups x R), so the encode is restructured so each Pallas
+# program sweeps ONE level's table (R = table_size/128 rows) over that
+# level's corner lookups — a 2-D grid over (level, lookup blocks) — instead
+# of sweeping the whole concatenated multi-level table.  Corner indices are
+# computed in LEAD layout (L*2^d, N): rows 8l..8l+7 belong to level l, so a
+# (8, BLOCK_N) index block is single-level by construction.  Viable when
+# every level's table is small (log2_hashmap_size <= 16, e.g. the
+# TPU-default 2^14); the reference's 2^19 default falls back to XLA take.
+
+_ROWSWEEP_MAX_LEVEL_ENTRIES = 1 << 16
+_BLOCK_N = 4096   # samples per padding unit: 8 corners x N -> (M, 128) rows
+_BLK_M = 256      # (row, 128)-blocks of lookups per program
+
+
+def _use_grouped_rowsweep(x, spec: HashGridSpec) -> bool:
+    import os
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return (jax.default_backend() == "tpu"
+            and spec.n_dims == 3 and spec.n_features == 2
+            and max(spec.level_params(l) for l in range(spec.n_levels))
+            <= _ROWSWEEP_MAX_LEVEL_ENTRIES
+            and n >= _BLOCK_N
+            and not os.environ.get("NRC_NO_PALLAS"))
+
+
+def _corner_indices_lead(x: jax.Array, spec: HashGridSpec):
+    """_corner_indices in lead layout: x (N, d) ->
+    (idx (L*2^d, N) int32 LEVEL-LOCAL rows, weight (L*2^d, N))."""
+    L = spec.n_levels
+    ncor = 1 << spec.n_dims
+    corners = _corner_offsets(spec.n_dims)
+    flat = L * ncor
+
+    def per_level(vals, dtype):
+        return jnp.asarray(np.repeat(np.asarray(vals), ncor),
+                           dtype).reshape(flat, 1)
+
+    scale_f = per_level([spec.level_scale(l) for l in range(L)], jnp.float32)
+    res_f = per_level([spec.level_resolution(l) for l in range(L)],
+                      jnp.int32)
+    dense_f = per_level([spec.level_is_dense(l) for l in range(L)], bool)
+    params_f = per_level([spec.level_params(l) for l in range(L)],
+                         jnp.uint32)
+    cor = [jnp.asarray(np.tile(corners[:, d], L),
+                       jnp.int32).reshape(flat, 1)
+           for d in range(spec.n_dims)]
+
+    n = x.shape[0]
+    weight = jnp.ones((flat, n), jnp.float32)
+    lin = jnp.zeros((flat, n), jnp.int32)
+    hsh = jnp.zeros((flat, n), jnp.uint32)
+    stride = jnp.ones((flat, 1), jnp.int32)
+    for d in range(spec.n_dims):
+        xs = x[None, :, d] * scale_f + 0.5                 # (flat, N)
+        x0 = jnp.floor(xs)
+        w = xs - x0
+        cd = x0.astype(jnp.int32) + cor[d]
+        weight = weight * jnp.where(cor[d].astype(bool), w, 1.0 - w)
+        cc = jnp.clip(cd, 0, res_f - 1)
+        lin = lin + cc * stride
+        stride = stride * res_f
+        hsh = hsh ^ (cd.astype(jnp.uint32) * jnp.uint32(_PRIMES[d % 3])) \
+            if d else cd.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    idx = jnp.where(dense_f, lin, (hsh % params_f).astype(jnp.int32))
+    return idx, weight
+
+
+def _levels_table_u32(packed: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """(total_params,) packed u32 -> (L, R, 128) per-level padded tables,
+    bitcast to f32 rows for the sweep kernel."""
+    L = spec.n_levels
+    offs = spec.level_offsets
+    rmax = -(-max(spec.level_params(l) for l in range(L)) // 128)
+    lvls = []
+    for l in range(L):
+        t = packed[offs[l]:offs[l + 1]]
+        lvls.append(jnp.pad(t, (0, rmax * 128 - t.shape[0])))
+    stacked = jnp.stack(lvls).reshape(L, rmax, 128)
+    return jax.lax.bitcast_convert_type(stacked, jnp.float32)
+
+
+def _sweep_kernel(tbl_ref, idx_ref, out_ref, *, n_rows: int):
+    idx = idx_ref[0]
+    r = idx // 128
+    cidx = idx % 128
+    acc = jnp.zeros(idx.shape, jnp.float32)
+
+    def body(row, acc):
+        rowv = jnp.broadcast_to(tbl_ref[0, pl.ds(row, 1), :], idx.shape)
+        picked = jnp.take_along_axis(rowv, cidx, axis=1)
+        return jnp.where(r == row, picked, acc)
+
+    acc = jax.lax.fori_loop(0, n_rows, body, acc)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _grouped_sweep(tables: jax.Array, idx: jax.Array, n_rows: int):
+    """tables (L, R, 128) f32-bitcast; idx (L, M, 128) level-local entries
+    (int32).  Returns gathered (L, M, 128) f32-bitcast words."""
+    L, m = idx.shape[0], idx.shape[1]
+    grid = (L, m // _BLK_M)
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, n_rows=n_rows),
+        out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tables.shape[1], 128), lambda l, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK_M, 128), lambda l, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLK_M, 128), lambda l, b: (l, b, 0),
+                               memory_space=pltpu.VMEM),
+    )(tables, idx)
+
+
+def _hash_grid_encode_rowsweep(packed: jax.Array, x: jax.Array,
+                               spec: HashGridSpec) -> jax.Array:
+    lead = x.shape[:-1]
+    n = 1
+    for d in lead:
+        n *= d
+    xf = x.reshape(n, spec.n_dims)
+    pad_n = (-n) % _BLOCK_N
+    if pad_n:
+        xf = jnp.pad(xf, ((0, pad_n), (0, 0)))
+    idx, weight = _corner_indices_lead(xf, spec)
+    tables = _levels_table_u32(packed, spec)
+    L = spec.n_levels
+    # (L*8, N) -> (L, 8N/128, 128): contiguous row-major regrouping, no
+    # transpose — each level's 8 corner rows flatten to their own blocks
+    idx_blk = idx.reshape(L, -1, 128)
+    g = _grouped_sweep(tables, idx_blk, tables.shape[1])
+    g = g.reshape(L * 8, -1)
+    w = jax.lax.bitcast_convert_type(g, jnp.uint32)
+    f0 = jax.lax.bitcast_convert_type(
+        (w & jnp.uint32(0xFFFF0000)), jnp.float32) * weight
+    f1 = jax.lax.bitcast_convert_type(w << 16, jnp.float32) * weight
+    L = spec.n_levels
+    s0 = f0.reshape(L, 8, -1).sum(axis=1)                  # (L, N)
+    s1 = f1.reshape(L, 8, -1).sum(axis=1)
+    out = jnp.stack([s0, s1], axis=1).reshape(2 * L, -1).T  # (N, L*2)
+    if pad_n:
+        out = out[:n]
+    return out.reshape(*lead, 2 * L)
 
 
 def one_blob_encode(x: jax.Array, n_bins: int) -> jax.Array:

@@ -170,45 +170,7 @@ def primary_pass(rng_state, vol, lights, params: TraceParams, cfg: AppConfig,
                 state=res["state"])
 
 
-def compact_apply(fn, mask, arrays, out_shapes, capacity: int,
-                  dense_fn=None):
-    """Run ``fn`` on only the mask-selected lanes (compacted to a static
-    ``capacity``), scattering results back to full size (zeros elsewhere).
-
-    The TPU analog of not launching warps for dead pixels: tracking cost
-    scales with the number of LIVE rays instead of the full screen.  If
-    more than ``capacity`` lanes are live, falls back to the dense call
-    via lax.cond (both branches are compiled; one executes).
-
-    fn(*compacted_arrays) -> tuple of (capacity, ...) arrays.
-    out_shapes: list of trailing shapes for the outputs (() for scalar
-    per-lane outputs).
-    Returns the tuple of full-size outputs.
-    """
-    n = mask.shape[0]
-    count = jnp.sum(mask)
-    (idx,) = jnp.nonzero(mask, size=capacity, fill_value=n)
-
-    def compact_branch(args):
-        gathered = [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
-                    for a in args]
-        outs = fn(*gathered)
-        full = []
-        for o, tail in zip(outs, out_shapes):
-            buf = jnp.zeros((n,) + tuple(tail), o.dtype)
-            # out-of-range fill indices are dropped by the scatter
-            full.append(buf.at[idx].set(o, mode="drop"))
-        return tuple(full)
-
-    def dense_branch(args):
-        outs = (dense_fn or fn)(*args)
-        return tuple(jnp.where(
-            mask.reshape((n,) + (1,) * len(tail)) if tail else mask,
-            o, jnp.zeros_like(o))
-            for o, tail in zip(outs, out_shapes))
-
-    return jax.lax.cond(count <= capacity, compact_branch, dense_branch,
-                        tuple(arrays))
+from .ops.compaction import compact_apply  # noqa: E402  (re-export)
 
 
 def primary_pass_compact(rng_state, vol, lights, params: TraceParams,
@@ -347,13 +309,13 @@ class NrcRenderer:
         missed are skipped (their output stays zero, matching the zero-fill
         of the infer buffers in NrcHpmRenderer.cu:1996-2000).
 
-        The hash-grid encode is gather-bound (~110M table lookups/s on
-        TPU, 128 lookups/sample), so inference cost scales with SAMPLE
-        COUNT: compacting to the scattered pixels (~28% of the screen)
-        wins big, and the compaction gather/scatter itself is cheap row
-        traffic.  Outputs of non-scattered pixels are zero, observably
-        identical to the reference (zero-filled infer buffers + per-batch
-        skip, NrcHpmRenderer.cu:1996-2000)."""
+        The hash-grid encode is gather-bound (~126M table lookups/s on
+        TPU through XLA, 128 lookups/sample), so inference cost scales
+        with SAMPLE COUNT: compacting to the scattered pixels (~22% of
+        the screen measured) wins big, and the compaction gather/scatter
+        itself is cheap row traffic.  Outputs of non-scattered pixels are
+        zero, observably identical to the reference (zero-filled infer
+        buffers + per-batch skip, NrcHpmRenderer.cu:1996-2000)."""
         n = x5.shape[0]
         if self.cfg.infer_compact and n >= 4096:
             # compact to scattered pixels only; the overflow fallback
@@ -365,7 +327,8 @@ class NrcRenderer:
                 return (_map_chunks(
                     lambda xc: self.cache.infer(nrc_state, xc), 16, x),)
 
-            (out,) = compact_apply(fn, scat, (x5,), [(3,)], n // 2,
+            cap = max(int(n * self.cfg.infer_compact_frac), 4096)
+            (out,) = compact_apply(fn, scat, (x5,), [(3,)], cap,
                                    dense_fn=dense)
             return out
         b = min(self.cfg.infer_batch_size, n)

@@ -275,7 +275,23 @@ def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
 # the event cap plays the role of the reference's 128-step cap.
 
 from .volume import (get_density_xyz, macro_control_xyz,  # noqa: E402
-                     macro_sigma_xyz)
+                     macro_profile_xyz, macro_sigma_xyz)
+
+# Staged event-loop compaction (see _staged_ratio/_staged_delta): lanes
+# resolve after ~rtot residual events but the batch keeps gathering until
+# the LAST lane resolves, so after a few dense segments the unresolved
+# tail is compacted to a fraction of the lanes (with a lax.cond dense
+# fallback if the static capacity would overflow).  Below this lane count
+# the fixed compaction cost (~1 ms of nonzero+takes) beats the savings.
+COMPACT_MIN_LANES = 65536
+# (capacity fraction, #segments) schedule after the dense segments; None
+# runs to the max_steps cap.  Fractions sized from measured residual-depth
+# percentiles on the WDAS cloud (experiments/event_stats.py: shadow-ray
+# rtot p50=12, p90=25, p99=34 at segment=8).
+RATIO_DENSE_SEGMENTS = 0
+RATIO_STAGES = ((0.60, 2), (0.25, 2), (0.12, None))
+DELTA_DENSE_SEGMENTS = 0
+DELTA_STAGES = ((0.60, 1), (0.30, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,
@@ -298,14 +314,15 @@ def _coarse_profile(vol: Volume, start, direction, tmax, C: int):
     ccum (C, N), rcum (C, N), h (N,)).  sigma dominates the density over
     each interval (max of the dilated macro field at both endpoints) and c
     underestimates it (min of the eroded field); domination holds for
-    interval lengths up to two macrocell edges."""
+    interval lengths up to two macrocell edges.  Served by ONE bf16-packed
+    table_gather per sample point (majorant and control in one word,
+    conservatively rounded — volume.py:_pack_macro)."""
     h = tmax / C
     ts = jnp.arange(C + 1, dtype=jnp.float32)[:, None] * h[None, :]
     px = start[None, :, 0] + ts * direction[None, :, 0]
     py = start[None, :, 1] + ts * direction[None, :, 1]
     pz = start[None, :, 2] + ts * direction[None, :, 2]
-    smax = macro_sigma_xyz(vol, px, py, pz)
-    smin = macro_control_xyz(vol, px, py, pz)
+    smax, smin = macro_profile_xyz(vol, px, py, pz)
     sigma = jnp.maximum(smax[:-1], smax[1:])
     c = jnp.minimum(jnp.minimum(smin[:-1], smin[1:]), sigma)
     ccum = jnp.cumsum(c * h[None, :], axis=0)
@@ -348,39 +365,33 @@ def _flatten_lanes(fn):
 
     @functools.wraps(fn)
     def wrapped(state, vol, a, b, max_steps=128, segment=16, coarse=32,
-                active=None):
+                active=None, **kw):
         lead = state.shape
         if len(lead) == 1:
-            return fn(state, vol, a, b, max_steps, segment, coarse, active)
+            return fn(state, vol, a, b, max_steps, segment, coarse, active,
+                      **kw)
         n = 1
         for d in lead:
             n *= d
         out = fn(state.reshape(n), vol, a.reshape(n, 3), b.reshape(n, 3),
                  max_steps, segment, coarse,
-                 None if active is None else active.reshape(n))
+                 None if active is None else active.reshape(n), **kw)
         return jax.tree.map(
             lambda o: o.reshape(lead + o.shape[1:]), out)
 
     return wrapped
 
 
-@_flatten_lanes
-def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
-                   segment: int = 16, coarse: int = 32, active=None):
-    """Residual ratio tracking with piecewise control/majorant:
-    T = exp(-int c) * E[ prod over residual events (1 - (d - c)/(sigma - c)) ].
-    Same contract as ratio_track; fine-grid gathers happen only at residual
-    events, i.e. where the density actually varies."""
-    seg_vec = end - start
-    tmax = jnp.linalg.norm(seg_vec, axis=-1)
-    direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
-    if active is not None:
-        tmax = jnp.where(active, tmax, 0.0)
-    seed, state = _track_seed(state)
-    sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction, tmax,
-                                              coarse)
-    rtot = rcum[-1]
-    seg_count = max(1, (max_steps + segment - 1) // segment)
+def _take(idx, *arrays):
+    """Gather lanes by index with zero fill (compaction)."""
+    return [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+            for a in arrays]
+
+
+def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
+                     segment: int):
+    """One ratio-tracking segment: draw ``segment`` Exp(1) event depths,
+    invert through rcum, gather fine density, fold residual factors."""
 
     def body(carry):
         i, e_last, trans = carry
@@ -398,41 +409,95 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
         trans = trans * jnp.prod(factors, axis=0)
         return i + 1, E[-1], trans
 
-    def cond(carry):
-        i, e_last, _ = carry
-        return (i < seg_count) & jnp.any(e_last < rtot)
+    return body
 
-    t0 = jnp.zeros_like(tmax)
-    _, _, trans = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, jnp.ones_like(tmax)))
-    trans = trans * jnp.exp(-ccum[-1])
-    return trans, state
+
+def _run_segments(body, rtot, i0: int, i1: int, e_last, *acc):
+    """Run ``body`` for segments [i0, i1) with early exit once every lane's
+    cumulative event depth passed its residual total."""
+
+    def cond(carry):
+        i, e_last = carry[0], carry[1]
+        return (i < i1) & jnp.any(e_last < rtot)
+
+    out = jax.lax.while_loop(cond, body, (jnp.int32(i0), e_last) + acc)
+    return out[1:]
 
 
 @_flatten_lanes
-def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
-                   segment: int = 16, coarse: int = 32, active=None):
-    """Decomposition delta tracking: the control component's first collision
-    is sampled ANALYTICALLY (no density lookups); only residual events —
-    concentrated where the density varies — gather the fine grid.  The
-    first arrival of either stream is the collision (superposition of
-    independent Poisson processes).  Same contract as delta_track."""
-    _, exit_pt, _ = find_entry_exit(vol, ro, rd)
-    tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
+def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
+                   segment: int = 16, coarse: int = 32, active=None,
+                   compact: bool = True):
+    """Residual ratio tracking with piecewise control/majorant:
+    T = exp(-int c) * E[ prod over residual events (1 - (d - c)/(sigma - c)) ].
+    Same contract as ratio_track; fine-grid gathers happen only at residual
+    events, i.e. where the density actually varies.
+
+    After RATIO_DENSE_SEGMENTS full-width segments the unresolved tail is
+    compacted per RATIO_STAGES (bitwise-identical results: event draws are
+    stateless, indexed by a global segment counter)."""
+    seg_vec = end - start
+    tmax = jnp.linalg.norm(seg_vec, axis=-1)
+    direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
     if active is not None:
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
-    sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
+    sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction, tmax,
+                                              coarse)
     rtot = rcum[-1]
     ctot = ccum[-1]
     seg_count = max(1, (max_steps + segment - 1) // segment)
+    n = tmax.shape[0]
 
-    # control collision: one Exp(1) draw inverted through ccum
-    e_ctrl = -jnp.log1p(-_indexed_draws_lead(
-        seed, jnp.uint32(0), 1, salt=0x165667B1)[0])
-    t_ctrl_raw, ctrl_beyond, _ = _map_events(e_ctrl[None, :], ccum, h, ())
-    ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
-    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
+    body = _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
+                            segment)
+    t0 = jnp.zeros_like(tmax)
+    trans0 = jnp.ones_like(tmax)
+
+    if not compact or n < COMPACT_MIN_LANES:
+        e_last, trans = _run_segments(body, rtot, 0, seg_count, t0, trans0)
+        return trans * jnp.exp(-ctot), state
+
+    i0 = min(RATIO_DENSE_SEGMENTS, seg_count)
+    e_last, trans = _run_segments(body, rtot, 0, i0, t0, trans0)
+
+    for frac, nseg in RATIO_STAGES:
+        i1 = seg_count if nseg is None else min(i0 + nseg, seg_count)
+        if i1 <= i0:
+            break
+        cap = max(int(n * frac), 128)
+        unres = e_last < rtot
+        count = jnp.sum(unres)
+        (idx,) = jnp.nonzero(unres, size=cap, fill_value=n)
+
+        def compact_branch(args, i0=i0, i1=i1, idx=idx):
+            e_last, trans = args
+            seed_c, tmax_c, e_c, tr_c, start_c, dir_c = _take(
+                idx, seed, tmax, e_last, trans, start, direction)
+            sg, cc, _, rc, hh = _coarse_profile(vol, start_c, dir_c, tmax_c,
+                                                coarse)
+            body_c = _make_ratio_body(vol, seed_c, start_c, dir_c, cc, sg,
+                                      rc, hh, segment)
+            e_c, tr_c = _run_segments(body_c, rc[-1], i0, i1, e_c, tr_c)
+            return (e_last.at[idx].set(e_c, mode="drop"),
+                    trans.at[idx].set(tr_c, mode="drop"))
+
+        def dense_branch(args, i0=i0, i1=i1):
+            e_last, trans = args
+            return _run_segments(body, rtot, i0, i1, e_last, trans)
+
+        e_last, trans = jax.lax.cond(count <= cap, compact_branch,
+                                     dense_branch, (e_last, trans))
+        i0 = i1
+        if i0 >= seg_count:
+            break
+
+    return trans * jnp.exp(-ctot), state
+
+
+def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
+    """One delta-tracking segment over the residual stream: draw events,
+    invert to positions, gather fine density, resolve accept/cross."""
 
     def body(carry):
         i, e_last, resolved, res_hit, crossed, t_res = carry
@@ -460,15 +525,96 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
         resolved = resolved | has_event
         return (i + 1, E[-1], resolved, res_hit, crossed, t_res)
 
-    def cond(carry):
-        i, _, resolved, *_ = carry
-        return (i < seg_count) & ~jnp.all(resolved)
+    return body
 
+
+def _run_delta_segments(body, i0: int, i1: int, carry):
+    """Run delta segments [i0, i1) with early exit once all lanes resolved."""
+
+    def cond(c):
+        i, resolved = c[0], c[2]
+        return (i < i1) & ~jnp.all(resolved)
+
+    out = jax.lax.while_loop(cond, body, (jnp.int32(i0),) + tuple(carry))
+    return out[1:]
+
+
+@_flatten_lanes
+def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
+                   segment: int = 16, coarse: int = 32, active=None,
+                   compact: bool = True):
+    """Decomposition delta tracking: the control component's first collision
+    is sampled ANALYTICALLY (no density lookups); only residual events —
+    concentrated where the density varies — gather the fine grid.  The
+    first arrival of either stream is the collision (superposition of
+    independent Poisson processes).  Same contract as delta_track.
+
+    After DELTA_DENSE_SEGMENTS full-width segments the unresolved tail is
+    compacted per DELTA_STAGES (bitwise-identical; see ratio_track_pw)."""
+    _, exit_pt, _ = find_entry_exit(vol, ro, rd)
+    tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
+    if active is not None:
+        tmax = jnp.where(active, tmax, 0.0)
+    seed, state = _track_seed(state)
+    sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
+    ctot = ccum[-1]
+    seg_count = max(1, (max_steps + segment - 1) // segment)
+    n = tmax.shape[0]
+
+    # control collision: one Exp(1) draw inverted through ccum
+    e_ctrl = -jnp.log1p(-_indexed_draws_lead(
+        seed, jnp.uint32(0), 1, salt=0x165667B1)[0])
+    t_ctrl_raw, ctrl_beyond, _ = _map_events(e_ctrl[None, :], ccum, h, ())
+    ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
+    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
+
+    body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment)
     f0 = jnp.zeros(tmax.shape, bool)
     t0 = jnp.zeros_like(tmax)
     inf0 = jnp.full(tmax.shape, jnp.inf)
-    _, _, resolved, res_hit, crossed, t_res = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, f0, f0, f0, inf0))
+    # lanes with zero residual depth resolve analytically: their first
+    # event is necessarily beyond rtot (crossed), no fine gathers needed —
+    # this makes a stage-0 compaction skip them entirely
+    empty = rcum[-1] <= 0.0
+    carry = (t0, empty, f0, empty, inf0)  # e_last, resolved, hit, crossed, t_res
+
+    if not compact or n < COMPACT_MIN_LANES:
+        carry = _run_delta_segments(body, 0, seg_count, carry)
+    else:
+        i0 = min(DELTA_DENSE_SEGMENTS, seg_count)
+        carry = _run_delta_segments(body, 0, i0, carry)
+        for frac, nseg in DELTA_STAGES:
+            i1 = seg_count if nseg is None else min(i0 + nseg, seg_count)
+            if i1 <= i0:
+                break
+            cap = max(int(n * frac), 128)
+            unres = ~carry[1]
+            count = jnp.sum(unres)
+            (idx,) = jnp.nonzero(unres, size=cap, fill_value=n)
+
+            def compact_branch(carry, i0=i0, i1=i1, idx=idx):
+                seed_c, tmax_c, ro_c, rd_c = _take(idx, seed, tmax, ro, rd)
+                cc = _take(idx, *carry)
+                # fill lanes must not run: mark them resolved
+                cc[1] = cc[1] | (idx >= n)
+                sg, ct, _, rc, hh = _coarse_profile(vol, ro_c, rd_c, tmax_c,
+                                                    coarse)
+                body_c = _make_delta_body(vol, seed_c, ro_c, rd_c, ct, sg,
+                                          rc, hh, segment)
+                out = _run_delta_segments(body_c, i0, i1, tuple(cc))
+                return tuple(a.at[idx].set(o, mode="drop")
+                             for a, o in zip(carry, out))
+
+            def dense_branch(carry, i0=i0, i1=i1):
+                return _run_delta_segments(body, i0, i1, carry)
+
+            carry = jax.lax.cond(count <= cap, compact_branch, dense_branch,
+                                 carry)
+            i0 = i1
+            if i0 >= seg_count:
+                break
+
+    _, resolved, res_hit, crossed, t_res = carry
     t_res = jnp.where(res_hit, t_res, jnp.inf)
 
     # superpose the two streams: earliest collision wins

@@ -49,6 +49,7 @@ class Volume:
     grid: jax.Array            # (X, Y, Z) uint8
     macro: jax.Array           # (Mx*My*Mz,) float32 flat dilated max density
     macro_min: jax.Array       # (Mx*My*Mz,) float32 flat eroded min density
+    macro_packed: jax.Array    # (Mx*My*Mz,) uint32 bf16(macro)<<16|bf16(min)
     sky_size: jax.Array        # (3,) float32
     density_factor: jax.Array  # () float32 — VOLUME_DENSITY_FACTOR
     g: jax.Array               # () float32 — HG anisotropy VOLUME_G
@@ -84,6 +85,7 @@ class Volume:
             grid=jnp.asarray(grid),
             macro=jnp.asarray(macro_max),
             macro_min=jnp.asarray(macro_min),
+            macro_packed=jnp.asarray(_pack_macro(macro_max, macro_min)),
             sky_size=jnp.asarray(sky_size.astype(np.float32)),
             density_factor=jnp.float32(density_factor),
             g=jnp.float32(g))
@@ -307,3 +309,56 @@ def macro_sigma_xyz(vol: Volume, px, py, pz):
 def macro_control_xyz(vol: Volume, px, py, pz):
     """macro_control on planar coordinates (strictly inside)."""
     return _macro_lookup_xyz(vol, vol.macro_min, px, py, pz, margin=0.0)
+
+
+def _pack_macro(macro_max: np.ndarray, macro_min: np.ndarray) -> np.ndarray:
+    """Pack (majorant, control) as bf16 halves of one uint32 with
+    CONSERVATIVE rounding: the majorant is rounded UP (domination must
+    survive quantization) and the control DOWN (it must stay a lower
+    bound), so the piecewise estimators remain exactly unbiased."""
+    # numpy has no bf16: truncate f32 bits (toward zero) after conservative
+    # scaling by more than one bf16 ulp in the safe direction.
+    up = macro_max.astype(np.float32) * (1.0 + 2.0 ** -7)
+    dn = macro_min.astype(np.float32) * (1.0 - 2.0 ** -7)
+    hi = (up.view(np.uint32) >> 16).astype(np.uint32)
+    lo = (dn.astype(np.float32).view(np.uint32) >> 16).astype(np.uint32)
+    packed = (hi << 16) | lo
+    # verify conservativeness
+    s = (packed >> np.uint32(16)).astype(np.uint32) << 16
+    c = (packed & np.uint32(0xFFFF)).astype(np.uint32) << 16
+    s_f = s.view(np.float32)
+    c_f = np.minimum(c.view(np.float32), s_f)
+    assert (s_f >= macro_max - 1e-7).all(), "majorant quantization broke"
+    assert (c_f <= macro_min + 1e-7).all(), "control quantization broke"
+    return packed
+
+
+def macro_profile_xyz(vol: Volume, px, py, pz):
+    """Fused (majorant, control) lookup on planar coordinates via the
+    bf16-packed macro table: ONE table_gather serves both fields (the
+    coarse-profile pass of the piecewise trackers is lookup-bound).
+
+    majorant uses a one-cell outside margin, control is strict-inside,
+    exactly like macro_sigma_xyz / macro_control_xyz."""
+    from .ops.table_gather import table_gather
+
+    mx, my, mz = vol.macro_dims
+    cx = (px / vol.sky_size[0] + 0.5) * mx
+    cy = (py / vol.sky_size[1] + 0.5) * my
+    cz = (pz / vol.sky_size[2] + 0.5) * mz
+    in_strict = ((cx >= 0) & (cx < mx) & (cy >= 0) & (cy < my)
+                 & (cz >= 0) & (cz < mz))
+    in_ext = ((cx >= -1) & (cx < mx + 1) & (cy >= -1) & (cy < my + 1)
+              & (cz >= -1) & (cz < mz + 1))
+    ix = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, mx - 1)
+    iy = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, my - 1)
+    iz = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, mz - 1)
+    lin = ix * (my * mz) + iy * mz + iz
+    w = table_gather(vol.macro_packed, lin)
+    sig = jax.lax.bitcast_convert_type(
+        (w & jnp.uint32(0xFFFF0000)), jnp.float32)
+    ctl = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+    ctl = jnp.minimum(ctl, sig)
+    sig = jnp.where(in_ext, sig, 0.0) * vol.density_factor
+    ctl = jnp.where(in_strict, ctl, 0.0) * vol.density_factor
+    return sig, ctl
