@@ -58,6 +58,48 @@ def chain_timeit(name, fn, *args, n=3, warmup=True):
     return dt
 
 
+def chain_timeit2(name, fn, *args, ns=(2, 16), quiet=False):
+    """Calibrated chain timing: runs ``fn`` chained n1 and n2 times inside
+    one jit each and solves for (fixed call overhead, per-iteration time).
+    The axon tunnel adds ~33 ms of fixed latency per jit invocation, which
+    chain_timeit at small n smears into the per-iteration number."""
+
+    def tok_of(out):
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+        t = jnp.float32(0.0)
+        for l in leaves:
+            t = t + jnp.sum(l).astype(jnp.float32)
+        return t * 0.0
+
+    def perturb(a, tok):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a + tok.astype(a.dtype)
+        return a
+
+    times = {}
+    for n in ns:
+        @jax.jit
+        def run(args, n=n):
+            def body(tok, _):
+                cur = list(args)
+                cur[0] = jax.tree.map(lambda a: perturb(a, tok), cur[0])
+                out = fn(*cur)
+                return tok_of(out), 0
+            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return tok
+        float(run(args))
+        t0 = time.perf_counter()
+        float(run(args))
+        times[n] = time.perf_counter() - t0
+    n1, n2 = ns
+    per = (times[n2] - times[n1]) / (n2 - n1)
+    fixed = times[n1] - n1 * per
+    if not quiet:
+        print(f"{name:<44s} {per*1e3:9.3f} ms (+{fixed*1e3:.1f} fixed)",
+              flush=True)
+    return per
+
+
 def wall_timeit(name, fn, *args, n=3, warmup=1):
     """Wall-clock with per-call block (includes tunnel latency; use only
     for full frames where the state chains naturally)."""
