@@ -180,6 +180,20 @@ class AppConfig:
     # fraction of the screen (measured scatter fraction on the WDAS cloud
     # reference view is 0.22 — experiments/event_stats.py).
     infer_compact_frac: float = 0.30
+    # Hash-grid training path: bf16 packed-gather forward + MXU
+    # matmul-scatter backward (encoding.hash_grid_encode_train).  Only
+    # takes effect for rowsweep-sized grids (log2_hashmap_size <= 16).
+    hash_train_fast: bool = True
+
+    @staticmethod
+    def tpu_tuned(**overrides) -> "AppConfig":
+        """The TPU-flagship operating point: reference semantics with the
+        hash-grid table sized into the rowsweep fast-gather window
+        (experiments/gather3_bench.py: 12G lookups/s at 2^12-per-level vs
+        140M/s through XLA's scalar gather at the reference's 2^19).
+        Quality parity vs the 2^19 table is tracked in BASELINE.md."""
+        enc = overrides.pop("encoding", EncodingConfig(log2_hashmap_size=14))
+        return AppConfig(encoding=enc, **overrides)
 
     # ------------------------------------------------------------------
     @property

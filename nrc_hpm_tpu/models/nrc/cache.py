@@ -104,6 +104,9 @@ class NeuralRadianceCache:
         self.ema_decay = cfg.ema_decay
         self.compute_dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" \
             else jnp.float32
+        # bf16 packed-gather forward + matmul-scatter backward for the
+        # hash grid (rowsweep-sized tables only; see encoding.py)
+        self.train_fast = getattr(cfg, "hash_train_fast", True)
 
     def init_state(self, key: jax.Array) -> NrcState:
         k_enc, k_mlp = jax.random.split(key)
@@ -121,8 +124,10 @@ class NeuralRadianceCache:
             step=jnp.int32(0))
 
     # -- forward ------------------------------------------------------------
-    def apply(self, params: dict, x5: jax.Array, packed=None) -> jax.Array:
-        feats = self.encoding(params["encoding"], x5, packed=packed)
+    def apply(self, params: dict, x5: jax.Array, packed=None,
+              train_fast: bool = False) -> jax.Array:
+        feats = self.encoding(params["encoding"], x5, packed=packed,
+                              train_fast=train_fast)
         return mlp_apply(params["mlp"], feats, self.compute_dtype)
 
     def infer(self, state: NrcState, x5: jax.Array) -> jax.Array:
@@ -141,7 +146,7 @@ class NeuralRadianceCache:
         axis (replicated-parameter data parallelism over ICI)."""
 
         def loss_of(params):
-            pred = self.apply(params, x5)
+            pred = self.apply(params, x5, train_fast=self.train_fast)
             return self.loss_fn(pred, target)
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)

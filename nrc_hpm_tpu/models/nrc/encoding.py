@@ -359,6 +359,98 @@ def _hash_grid_encode_rowsweep(packed: jax.Array, x: jax.Array,
     return out.reshape(*lead, 2 * L)
 
 
+# ---------------------------------------------------------------------------
+# Training-path encode: bf16 packed forward + MXU matmul scatter backward
+# ---------------------------------------------------------------------------
+#
+# The autodiff backward of hash_grid_encode is an XLA scatter-add, which
+# (like gather) runs on the ~140M-elem/s scalar path.  The tcnn equivalent
+# accumulates gradients with atomics in CUDA (tiny-cuda-nn grid encoding
+# backward); the TPU-native form is a MATMUL: with one-hot row selectors
+# OH (M, R) for the M = N*2^d corner lookups of one level and
+# G[m, c*F+f] = [lane(m)==c] * w_m * gout[n(m), f], the level's gradient is
+#     dtable2d (R, 128*F) = OH^T @ G
+# — MXU work at ~hundreds of GFLOP instead of millions of scalar scatters.
+# Viable when R = level_params/128 is small (the rowsweep-size regime);
+# bigger tables fall back to autodiff.
+
+def _level_grad_matmul(idx_l, w_l, g_l, n_rows: int, n_feat: int):
+    """One level's table gradient.  idx_l, w_l: (N, 2^d) level-local entry
+    indices / trilinear weights; g_l: (N, F) output grads.
+    Returns (n_rows*128, F) float32."""
+    N, ncor = idx_l.shape
+    M = N * ncor
+    r = (idx_l // 128).reshape(M)
+    c = (idx_l % 128).reshape(M)
+    wg = (w_l[..., None] * g_l[:, None, :]).reshape(M, n_feat)
+    oh = jax.nn.one_hot(r, n_rows, dtype=jnp.bfloat16)          # (M, R)
+    lane_oh = jax.nn.one_hot(c, 128, dtype=jnp.float32)         # (M, 128)
+    # G[m, c*F+f] = lane_oh[m, c] * wg[m, f]
+    G = (lane_oh[:, :, None] * wg[:, None, :]).reshape(M, 128 * n_feat)
+    d2 = jnp.dot(oh.T, G.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)            # (R, 128*F)
+    return d2.reshape(n_rows, 128, n_feat).reshape(n_rows * 128, n_feat)
+
+
+def _encode_fwd_packed(table, x, spec: HashGridSpec):
+    packed = pack_table_bf16(table)
+    return hash_grid_encode_packed(packed, x, spec)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_grid_encode_train(table, x, spec: HashGridSpec):
+    """Training-path hash-grid encode: bf16 packed-table forward (one
+    gather per corner, rowsweep-served on TPU) with a custom backward that
+    builds the table gradient by one-hot MXU matmuls.  Gradients flow to
+    the TABLE only (zero to x) — matching how the reference's tcnn
+    trainer uses the grid (NeuralRadianceCache.cu:147-156 never
+    differentiates inputs).  Feature values are bf16-rounded like tcnn's
+    fp16 inference/training params."""
+    return _encode_fwd_packed(table, x, spec)
+
+
+def _encode_train_fwd(table, x, spec):
+    out = _encode_fwd_packed(table, x, spec)
+    idx, weight = _corner_indices(x, spec)
+    return out, (idx, weight, x.shape)
+
+
+def _encode_train_bwd(spec, res, gout):
+    idx, weight, xshape = res
+    L, F = spec.n_levels, spec.n_features
+    ncor = 1 << spec.n_dims
+    n = 1
+    for d in xshape[:-1]:
+        n *= d
+    idx = idx.reshape(n, L, ncor)
+    weight = weight.reshape(n, L, ncor)
+    g = gout.reshape(n, L, F)
+    offs = spec.level_offsets
+    parts = []
+    for l in range(L):
+        n_params = spec.level_params(l)
+        n_rows = -(-n_params // 128)
+        # level-local indices (idx carries the global offset)
+        idx_l = idx[:, l, :] - offs[l]
+        d_l = _level_grad_matmul(idx_l, weight[:, l, :], g[:, l, :],
+                                 n_rows, F)[:n_params]
+        parts.append(d_l)
+    dtable = jnp.concatenate(parts, axis=0)
+    return dtable, jnp.zeros(xshape, jnp.float32)
+
+
+hash_grid_encode_train.defvjp(_encode_train_fwd, _encode_train_bwd)
+
+
+def use_train_fast(spec: HashGridSpec | None) -> bool:
+    """The matmul-scatter backward materializes an (N*2^d, R) one-hot per
+    level — viable in the rowsweep-size regime (level tables <= 2^16);
+    bigger tables keep the autodiff scatter-add."""
+    return (spec is not None
+            and max(spec.level_params(l)
+                    for l in range(spec.n_levels)) <= (1 << 16))
+
+
 def one_blob_encode(x: jax.Array, n_bins: int) -> jax.Array:
     """OneBlob encoding (NRC paper / tcnn OneBlob, n_bins per dim): the
     integral of a Gaussian of sigma = 1/n_bins centered at x over each bin.
@@ -440,12 +532,16 @@ class CompositeEncoding:
             return {}
         return {"hash_table_packed": pack_table_bf16(params["hash_table"])}
 
-    def __call__(self, params, x5: jax.Array, packed=None) -> jax.Array:
+    def __call__(self, params, x5: jax.Array, packed=None,
+                 train_fast: bool = False) -> jax.Array:
         """x5: (..., 5) -> (..., out_dim) encoded features.
 
         With ``packed`` (from pack_params), the hash-grid gather uses the
         single-word bf16-packed table — half the gather traffic; use for
-        inference only (no gradients through the packed table)."""
+        inference only (no gradients through the packed table).
+        With ``train_fast`` (and a rowsweep-sized grid), the differentiable
+        bf16 path with the matmul-scatter backward is used instead of the
+        f32 autodiff path."""
         pos = x5[..., :3]
         direction = x5[..., 3:5]
         cfg = self.cfg
@@ -453,6 +549,9 @@ class CompositeEncoding:
             if packed is not None:
                 pos_f = hash_grid_encode_packed(
                     packed["hash_table_packed"], pos, self.grid_spec)
+            elif train_fast and use_train_fast(self.grid_spec):
+                pos_f = hash_grid_encode_train(params["hash_table"], pos,
+                                               self.grid_spec)
             else:
                 pos_f = hash_grid_encode(params["hash_table"], pos,
                                          self.grid_spec)

@@ -222,11 +222,11 @@ def delta_track_fast(state, vol: Volume, ro, rd, max_steps: int = 128,
         cross = t >= tmax[..., None]
         accept = (dens * inv_max > u2) & ~cross
         event = accept | cross
-        first = jnp.argmax(event, axis=-1)
+        first_mask = event & (jnp.cumsum(event.astype(jnp.int32), axis=-1)
+                              == 1)
         has_event = jnp.any(event, axis=-1)
-        ev_accept = jnp.take_along_axis(
-            accept, first[..., None], axis=-1)[..., 0]
-        ev_t = jnp.take_along_axis(t, first[..., None], axis=-1)[..., 0]
+        ev_accept = jnp.any(first_mask & accept, axis=-1)
+        ev_t = jnp.sum(jnp.where(first_mask, t, 0.0), axis=-1)
         new = ~resolved & has_event
         hit = hit | (new & ev_accept)
         exited = exited | (new & ~ev_accept)
@@ -388,10 +388,23 @@ def _take(idx, *arrays):
             for a in arrays]
 
 
+# Russian-roulette threshold for the pw ratio tracker: once a lane's
+# running transmittance falls below RR_EPS it survives with probability
+# trans/RR_EPS (weight reset to RR_EPS) or terminates with trans = 0.
+# Exactly unbiased (E[trans] unchanged) and it caps the expected event
+# count near the depth where trans ~ RR_EPS — dense cloud chords would
+# otherwise burn ~2x the fine-grid gathers multiplying into a dead value.
+# Divergence from the reference (which runs all 128 steps) is statistical
+# only; tests cover the mean.  Set to 0.0 to disable.
+RR_EPS = 1.0 / 32.0
+
+
 def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
-                     segment: int):
+                     segment: int, rtot=None, rr_eps: float = RR_EPS):
     """One ratio-tracking segment: draw ``segment`` Exp(1) event depths,
-    invert through rcum, gather fine density, fold residual factors."""
+    invert through rcum, gather fine density, fold residual factors.
+    With ``rtot`` given, applies Russian roulette after the fold (lanes
+    killed by RR mark themselves resolved by pushing e_last past rtot)."""
 
     def body(carry):
         i, e_last, trans = carry
@@ -407,7 +420,21 @@ def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
         factors = jnp.where(beyond, 1.0,
                             1.0 - jnp.clip(dens - c_at, 0.0, None) / sres)
         trans = trans * jnp.prod(factors, axis=0)
-        return i + 1, E[-1], trans
+        e_new = E[-1]
+        if rtot is not None and rr_eps > 0.0:
+            alive = e_new < rtot
+            small = alive & (jnp.abs(trans) < rr_eps)
+            u_rr = _indexed_draws_lead(seed, i.astype(jnp.uint32), 1,
+                                       salt=0x7FEB352D)[0]
+            survive = u_rr * rr_eps < jnp.abs(trans)
+            trans = jnp.where(small,
+                              jnp.where(survive,
+                                        jnp.sign(trans) * rr_eps, 0.0),
+                              trans)
+            # killed lanes resolve: park their event depth past rtot
+            e_new = jnp.where(small & ~survive,
+                              jnp.maximum(rtot, e_new) + 1.0, e_new)
+        return i + 1, e_new, trans
 
     return body
 
@@ -450,7 +477,7 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     n = tmax.shape[0]
 
     body = _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
-                            segment)
+                            segment, rtot=rtot)
     t0 = jnp.zeros_like(tmax)
     trans0 = jnp.ones_like(tmax)
 
@@ -477,7 +504,7 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
             sg, cc, _, rc, hh = _coarse_profile(vol, start_c, dir_c, tmax_c,
                                                 coarse)
             body_c = _make_ratio_body(vol, seed_c, start_c, dir_c, cc, sg,
-                                      rc, hh, segment)
+                                      rc, hh, segment, rtot=rc[-1])
             e_c, tr_c = _run_segments(body_c, rc[-1], i0, i1, e_c, tr_c)
             return (e_last.at[idx].set(e_c, mode="drop"),
                     trans.at[idx].set(tr_c, mode="drop"))
@@ -513,11 +540,13 @@ def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
         sres = jnp.maximum(s_at - c_at, 1e-12)
         accept = ~beyond & (jnp.clip(dens - c_at, 0.0, None) / sres > u2)
         event = accept | beyond
-        first = jnp.argmax(event, axis=0)
+        # first event via cumulative masking (a take_along_axis here would
+        # be an XLA gather at ~140M lookups/s; this is pure VPU)
+        first_mask = event & (jnp.cumsum(event.astype(jnp.int32), axis=0)
+                              == 1)
         has_event = jnp.any(event, axis=0)
-        ev_accept = jnp.take_along_axis(accept, first[None, :],
-                                        axis=0)[0]
-        ev_t = jnp.take_along_axis(t, first[None, :], axis=0)[0]
+        ev_accept = jnp.any(first_mask & accept, axis=0)
+        ev_t = jnp.sum(jnp.where(first_mask, t, 0.0), axis=0)
         new = ~resolved & has_event
         res_hit = res_hit | (new & ev_accept)
         crossed = crossed | (new & ~ev_accept)

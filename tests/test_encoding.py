@@ -130,3 +130,71 @@ def test_packed_encode_matches_f32():
     # bf16 features: ~3 decimal digits
     assert np.abs(a - b).max() < 1e-2 * max(1.0, np.abs(a).max())
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_train_encode_forward_matches_packed():
+    """hash_grid_encode_train forward == the bf16 packed-gather encode."""
+    from nrc_hpm_tpu.models.nrc.encoding import (
+        HashGridSpec, hash_grid_encode_packed, hash_grid_encode_train,
+        init_hash_grid, pack_table_bf16)
+    spec = HashGridSpec(n_levels=4, log2_table_size=10, base_resolution=4)
+    key = jax.random.PRNGKey(0)
+    table = init_hash_grid(key, spec) * 1e4  # O(1) features
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hash_grid_encode_train(table, x, spec)
+    ref = hash_grid_encode_packed(pack_table_bf16(table), x, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_train_encode_backward_matches_autodiff():
+    """The matmul-scatter backward must equal autodiff of the f32 encode
+    up to bf16 forward rounding (the table gradient is linear in the
+    upstream grad and independent of the stored values)."""
+    from nrc_hpm_tpu.models.nrc.encoding import (
+        HashGridSpec, hash_grid_encode, hash_grid_encode_train,
+        init_hash_grid)
+    spec = HashGridSpec(n_levels=4, log2_table_size=10, base_resolution=4)
+    key = jax.random.PRNGKey(0)
+    table = init_hash_grid(key, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2),
+                          (128, spec.out_dim), jnp.float32)
+
+    def loss_fast(t):
+        return jnp.vdot(hash_grid_encode_train(t, x, spec), g)
+
+    def loss_ref(t):
+        return jnp.vdot(hash_grid_encode(t, x, spec), g)
+
+    d_fast = jax.grad(loss_fast)(table)
+    d_ref = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_hashgrid_backward_loop_oracle():
+    """Autodiff table gradient vs an explicit loop over corners (slow
+    trusted oracle): dL/dtable[e, f] = sum over (sample, corner) hits of
+    w * g[sample, level, f]."""
+    from nrc_hpm_tpu.models.nrc.encoding import (
+        HashGridSpec, _corner_indices, hash_grid_encode, init_hash_grid)
+    spec = HashGridSpec(n_levels=3, log2_table_size=8, base_resolution=4)
+    key = jax.random.PRNGKey(3)
+    table = init_hash_grid(key, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (32, 3))
+    g = jax.random.normal(jax.random.PRNGKey(5), (32, spec.out_dim))
+
+    d_auto = jax.grad(
+        lambda t: jnp.vdot(hash_grid_encode(t, x, spec), g))(table)
+
+    idx, w = _corner_indices(x, spec)  # (N, L*8) flat, level-major
+    idx, w = np.asarray(idx), np.asarray(w)
+    gn = np.asarray(g).reshape(32, spec.n_levels, spec.n_features)
+    d_loop = np.zeros(d_auto.shape, np.float64)
+    for n in range(32):
+        for l in range(spec.n_levels):
+            for c in range(8):
+                e = idx[n, l * 8 + c]
+                for f in range(spec.n_features):
+                    d_loop[e, f] += w[n, l * 8 + c] * gn[n, l, f]
+    np.testing.assert_allclose(np.asarray(d_auto), d_loop, atol=1e-5)
