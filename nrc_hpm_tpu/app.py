@@ -53,6 +53,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-train", action="store_true",
                    help="frozen-cache rendering (BASELINE config 3)")
     p.add_argument("--export-exr", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-stage frame breakdown (the "
+                        "reference's 8-query timestamp pool) before the run")
+    p.add_argument("--compare-accumulated", action="store_true",
+                   help="compare the accumulated on-screen image instead "
+                        "of a fresh ref-camera frame (NOT the reference's "
+                        "Reference::CompareNrc semantics; cheaper)")
+    p.add_argument("--tpu-tuned", action="store_true",
+                   help="use the TPU-tuned operating point "
+                        "(AppConfig.tpu_tuned: rowsweep-sized hash grid)")
     return p
 
 
@@ -79,6 +89,10 @@ def main(argv=None) -> int:
     else:
         print("No arguments found. Loading defaults")
         cfg = AppConfig.from_argv(DEFAULT_ARGV)
+    if args.tpu_tuned:
+        cfg = dataclasses.replace(
+            cfg, encoding=dataclasses.replace(cfg.encoding,
+                                              log2_hashmap_size=14))
     if args.width or args.height:
         cfg = dataclasses.replace(
             cfg, render_width=args.width or cfg.render_width,
@@ -122,10 +136,28 @@ def main(argv=None) -> int:
         restir_renderer = RestirRenderer(cfg)
         restir_state = restir_renderer.init_state(0)
 
+    if args.profile and nrc_renderer is not None and not args.mesh:
+        from .profiler import format_stage_report, profile_nrc_frame
+        stages = profile_nrc_frame(nrc_renderer, nrc_state, cam)
+        print(format_stage_report(stages), flush=True)
+        logger.event("stage_profile", **{k: round(v, 3)
+                                         for k, v in stages.items()})
+
     train = not args.no_train
     t_start = time.time()
+    frame = -1
+    last_t = time.time()
     for frame in range(args.frames):
         t0 = time.time()
+        # HpmScene::Update (src/HpmScene.cpp:56-76, called per frame from
+        # main.cu:269): dynamic scenes animate the dir light
+        if cfg.scene.dynamic:
+            from .lights import update_scene
+            dt_s = t0 - last_t
+            for r in (nrc_renderer, mc_renderer, restir_renderer):
+                if r is not None:
+                    r.lights = update_scene(r.lights, cfg.scene, dt_s)
+        last_t = t0
         if nrc_renderer is not None:
             nrc_state = nrc_renderer.step(nrc_state, cam, train=train)
         if mc_renderer is not None:
@@ -143,10 +175,21 @@ def main(argv=None) -> int:
         loss = float(nrc_state.nrc.loss) if nrc_renderer is not None else None
         nrc_cmp = mc_cmp = None
         if golden is not None and frame % args.benchmark_every == 0:
-            if nrc_renderer is not None:
-                nrc_cmp = golden.compare(np.asarray(nrc_state.image))
-            if mc_renderer is not None:
-                mc_cmp = golden.compare(np.asarray(mc_state.image))
+            if args.compare_accumulated:
+                # cheap mode: score the on-screen accumulation (valid while
+                # the camera is static; NOT reference-comparable per frame)
+                if nrc_renderer is not None:
+                    nrc_cmp = golden.compare(np.asarray(nrc_state.image))
+                if mc_renderer is not None:
+                    mc_cmp = golden.compare(np.asarray(mc_state.image))
+            else:
+                # Reference::CompareNrc/CompareMc: one fresh frame with the
+                # stored ref camera, accumulation cleared, training off
+                # (Reference.cpp:72-154); our caller state is untouched
+                if nrc_renderer is not None:
+                    nrc_cmp = golden.compare_nrc(nrc_renderer, nrc_state)
+                if mc_renderer is not None:
+                    mc_cmp = golden.compare_mc(mc_renderer, mc_state)
         logger.frame(frame, frame_ms, loss=loss, nrc_cmp=nrc_cmp,
                      mc_cmp=mc_cmp)
 
@@ -166,8 +209,9 @@ def main(argv=None) -> int:
             break
 
     total = time.time() - t_start
-    print(f"{frame + 1} frames in {total:.1f}s "
-          f"({(frame + 1) / total:.2f} fps)")
+    if frame >= 0 and total > 0:
+        print(f"{frame + 1} frames in {total:.1f}s "
+              f"({(frame + 1) / total:.2f} fps)")
 
     if args.export_exr:
         from .utils.exr import write_exr

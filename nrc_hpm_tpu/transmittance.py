@@ -479,11 +479,25 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     body = _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
                             segment, rtot=rtot)
     t0 = jnp.zeros_like(tmax)
-    trans0 = jnp.ones_like(tmax)
+    # Fold the analytic control factor exp(-ctot) in UP FRONT (same
+    # expectation — it is deterministic given the profile) so Russian
+    # roulette sees the full running transmittance: chords through the
+    # cloud interior carry exp(-ctot) ~ 1e-3..1e-9 and can terminate
+    # before burning ANY fine-grid gathers on a dead product.
+    trans0 = jnp.exp(-ctot)
+    if RR_EPS > 0.0:
+        small0 = (trans0 < RR_EPS) & (t0 < rtot)
+        u0 = _indexed_draws_lead(seed, jnp.uint32(0), 1,
+                                 salt=0x3C6EF372)[0]
+        survive0 = u0 * RR_EPS < trans0
+        t0 = jnp.where(small0 & ~survive0,
+                       jnp.maximum(rtot, t0) + 1.0, t0)
+        trans0 = jnp.where(small0,
+                           jnp.where(survive0, RR_EPS, 0.0), trans0)
 
     if not compact or n < COMPACT_MIN_LANES:
         e_last, trans = _run_segments(body, rtot, 0, seg_count, t0, trans0)
-        return trans * jnp.exp(-ctot), state
+        return trans, state
 
     i0 = min(RATIO_DENSE_SEGMENTS, seg_count)
     e_last, trans = _run_segments(body, rtot, 0, i0, t0, trans0)
@@ -519,7 +533,7 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
         if i0 >= seg_count:
             break
 
-    return trans * jnp.exp(-ctot), state
+    return trans, state
 
 
 def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):

@@ -47,6 +47,14 @@ class RunLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def event(self, kind: str, **fields) -> None:
+        """Write a non-frame record (e.g. the per-stage profile) to the
+        JSONL stream."""
+        rec = {"event": kind, "t": round(time.time() - self._t0, 3)}
+        rec.update(fields)
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
     def close(self):
         self._log.close()
         self._jsonl.close()

@@ -37,19 +37,23 @@ def test_mc_reproducible(small_mc):
 
 
 def test_mc_blend_is_running_mean(small_mc):
+    """The temporal blend (blendFactor = 1/blendIndex,
+    McHpmRenderer.cpp:124-136) must equal the running mean of the
+    per-frame images.  Reconstruct each frame's fresh contribution from
+    consecutive accumulations and check mean(frames) == accumulated."""
     cam = Camera.reference_camera(aspect=64 / 36)
     state = small_mc.init_state(3)
     frames = []
-    import flax.struct  # noqa: F401
-    for _ in range(3):
-        prev_key = state.key
-        one = McRenderer.__dict__  # noqa: F841 (doc: step uses internal key)
+    prev = np.asarray(state.image)
+    for i in range(3):
         state = small_mc.step(state, cam)
-        del prev_key
-        frames.append(None)
-    # after 3 frames blend_index is 4 and image = mean of the 3 frames;
-    # verify via variance shrink: rerender single frame and compare scale
+        cur = np.asarray(state.image)
+        bf = 1.0 / (i + 1)  # blend factor used by this step
+        frames.append((cur - (1.0 - bf) * prev) / bf)
+        prev = cur
     assert int(state.blend_index) == 4
+    np.testing.assert_allclose(np.mean(frames, axis=0), prev,
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_mc_statistical_match_vs_golden():
