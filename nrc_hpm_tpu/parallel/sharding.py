@@ -177,7 +177,12 @@ class ShardedNrcRenderer:
                                 self.params, cfg, flat_ro, flat_rd)
 
         x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])
-        nrc_rgb = self.cache.infer(state.nrc, x5.reshape(-1, 5))
+        # shard-local infer filter/compaction — same path as the
+        # single-chip renderer (each shard compacts its own pixels)
+        from ..renderer import infer_filtered
+        nrc_rgb = infer_filtered(self.cache, cfg, state.nrc,
+                                 x5.reshape(-1, 5),
+                                 prim["did_scatter"].reshape(-1))
         prim = {k: v.reshape(self.local_h, self.width, *v.shape[1:])
                 for k, v in prim.items() if k != "state"}
         nrc_rgb = nrc_rgb.reshape(self.local_h, self.width, 3)

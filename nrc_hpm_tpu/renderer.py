@@ -219,6 +219,56 @@ from .sampling import dir_to_spherical_norm  # noqa: E402
 from .volume import sky_uvw  # noqa: E402
 
 
+def infer_filtered(cache, cfg: AppConfig, nrc_state, x5, scat):
+    """Batched inference with empty-batch skip — the reference's
+    NrcInferFilter: batches of ``infer_batch_size`` whose pixels all
+    missed are skipped (their output stays zero, matching the zero-fill
+    of the infer buffers in NrcHpmRenderer.cu:1996-2000).
+
+    The hash-grid encode is gather-bound, so inference cost scales with
+    SAMPLE COUNT: compacting to the scattered pixels (~22% of the screen
+    measured) wins big, and the compaction gather/scatter itself is cheap
+    row traffic.  Outputs of non-scattered pixels are zero, observably
+    identical to the reference (zero-filled infer buffers + per-batch
+    skip).  Shared by the single-chip and sharded renderers (each shard
+    compacts its local pixels independently)."""
+    n = x5.shape[0]
+    if cfg.infer_compact and n >= 4096:
+        def fn(x):
+            return (cache.infer(nrc_state, x),)
+
+        def dense(x):
+            return (_map_chunks(
+                lambda xc: cache.infer(nrc_state, xc), 16, x),)
+
+        cap = max(int(n * cfg.infer_compact_frac), 4096)
+        (out,) = compact_apply(fn, scat, (x5,), [(3,)], cap,
+                               dense_fn=dense)
+        return out
+    b = min(cfg.infer_batch_size, n)
+    if not cfg.infer_filter or n == b:
+        return cache.infer(nrc_state, x5)
+    nb = -(-n // b)
+    pad = nb * b - n
+    if pad:
+        # the reference pads the infer buffer to whole batches too
+        # (inferCount must be a multiple of 16, NeuralRadianceCache.cu:52)
+        x5 = jnp.concatenate(
+            [x5, jnp.zeros((pad, 5), x5.dtype)], axis=0)
+        scat = jnp.concatenate(
+            [scat, jnp.zeros((pad,), bool)], axis=0)
+
+    def one(args):
+        x5_c, scat_c = args
+        return jax.lax.cond(
+            jnp.any(scat_c),
+            lambda: cache.infer(nrc_state, x5_c),
+            lambda: jnp.zeros((b, 3), jnp.float32))
+
+    out = jax.lax.map(one, (x5.reshape(nb, b, 5), scat.reshape(nb, b)))
+    return out.reshape(nb * b, 3)[:n]
+
+
 @flax.struct.dataclass
 class NrcRenderState:
     """Per-run mutable state of the NRC renderer."""
@@ -304,55 +354,7 @@ class NrcRenderer:
             key=key)
 
     def _infer_filtered(self, nrc_state, x5, scat):
-        """Batched inference with empty-batch skip — the reference's
-        NrcInferFilter: batches of ``infer_batch_size`` whose pixels all
-        missed are skipped (their output stays zero, matching the zero-fill
-        of the infer buffers in NrcHpmRenderer.cu:1996-2000).
-
-        The hash-grid encode is gather-bound (~126M table lookups/s on
-        TPU through XLA, 128 lookups/sample), so inference cost scales
-        with SAMPLE COUNT: compacting to the scattered pixels (~22% of
-        the screen measured) wins big, and the compaction gather/scatter
-        itself is cheap row traffic.  Outputs of non-scattered pixels are
-        zero, observably identical to the reference (zero-filled infer
-        buffers + per-batch skip, NrcHpmRenderer.cu:1996-2000)."""
-        n = x5.shape[0]
-        if self.cfg.infer_compact and n >= 4096:
-            # compact to scattered pixels only; the overflow fallback
-            # chunks to bound encode intermediates
-            def fn(x):
-                return (self.cache.infer(nrc_state, x),)
-
-            def dense(x):
-                return (_map_chunks(
-                    lambda xc: self.cache.infer(nrc_state, xc), 16, x),)
-
-            cap = max(int(n * self.cfg.infer_compact_frac), 4096)
-            (out,) = compact_apply(fn, scat, (x5,), [(3,)], cap,
-                                   dense_fn=dense)
-            return out
-        b = min(self.cfg.infer_batch_size, n)
-        if not self.cfg.infer_filter or n == b:
-            return self.cache.infer(nrc_state, x5)
-        nb = -(-n // b)
-        pad = nb * b - n
-        if pad:
-            # the reference pads the infer buffer to whole batches too
-            # (inferCount must be a multiple of 16, NeuralRadianceCache.cu:52)
-            x5 = jnp.concatenate(
-                [x5, jnp.zeros((pad, 5), x5.dtype)], axis=0)
-            scat = jnp.concatenate(
-                [scat, jnp.zeros((pad,), bool)], axis=0)
-
-        def one(args):
-            x5_c, scat_c = args
-            return jax.lax.cond(
-                jnp.any(scat_c),
-                lambda: self.cache.infer(nrc_state, x5_c),
-                lambda: jnp.zeros((b, 3), jnp.float32))
-
-        out = jax.lax.map(one, (x5.reshape(nb, b, 5), scat.reshape(nb, b)))
-        return out.reshape(nb * b, 3)[:n]
+        return infer_filtered(self.cache, self.cfg, nrc_state, x5, scat)
 
     def step(self, state: NrcRenderState, camera: Camera,
              train: bool = True) -> NrcRenderState:
