@@ -78,6 +78,14 @@ def load_obj(path: str) -> Model:
             elif t[0] == "Kd" and name:
                 mats[name].diffuse_color = np.asarray(
                     [float(x) for x in t[1:4]], np.float32)
+            elif t[0] == "map_Kd" and name:
+                # diffuse texture (Material.cpp loads it via Texture2D)
+                tex_path = os.path.join(os.path.dirname(mtl_path), t[-1])
+                try:
+                    from ..utils.texture import load_image
+                    mats[name].diffuse_texture = load_image(tex_path)
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"warning: could not load texture {tex_path}: {e}")
         return
 
     for line in open(path):
@@ -155,10 +163,14 @@ def make_cube(size: float = 1.0) -> Model:
     return Model([mesh])
 
 
-def flatten_model(model: Model):
+def flatten_model(model: Model, textures: Optional[list] = None):
     """Model -> flat device triangle arrays for the renderer:
-    (v0, e1, e2, n per-corner (F,3,3), uv (F,3,2), color (F,3))."""
-    v0s, e1s, e2s, ns, uvs_, cols = [], [], [], [], [], []
+    (v0, e1, e2, n per-corner (F,3,3), uv (F,3,2), color (F,3),
+    tex_idx (F,) int32 into ``textures`` or -1 for untextured).
+
+    Pass a shared ``textures`` list to accumulate texture images across
+    models (deduplicated by identity)."""
+    v0s, e1s, e2s, ns, uvs_, cols, tids = [], [], [], [], [], [], []
     m4 = model.transform
     rot = m4[:3, :3]
     for mesh in model.meshes:
@@ -173,5 +185,16 @@ def flatten_model(model: Model):
         uvs_.append(mesh.uvs[idx])
         cols.append(np.broadcast_to(mesh.material.diffuse_color,
                                     (len(idx), 3)))
+        tid = -1
+        tex = mesh.material.diffuse_texture
+        if tex is not None and textures is not None:
+            for k, existing in enumerate(textures):
+                if existing is tex:
+                    tid = k
+                    break
+            else:
+                tid = len(textures)
+                textures.append(tex)
+        tids.append(np.full((len(idx),), tid, np.int32))
     return tuple(jnp.asarray(np.concatenate(a)) for a in
-                 (v0s, e1s, e2s, ns, uvs_, cols))
+                 (v0s, e1s, e2s, ns, uvs_, cols, tids))

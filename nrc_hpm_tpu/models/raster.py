@@ -23,9 +23,9 @@ from .mesh import Model, flatten_model
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk"))
-def _render(cam: Camera, tris, width: int, height: int,
+def _render(cam: Camera, tris, tex_stack, width: int, height: int,
             background, light_dir, chunk: int = 0):
-    v0, e1, e2, n, uv, col = tris
+    v0, e1, e2, n, uv, col, tex_idx = tris
     _, rd, _ = pixel_rays(cam, width, height)
     ro = jnp.broadcast_to(cam.pos, rd.shape)
     rdf = rd.reshape(-1, 3)
@@ -59,6 +59,20 @@ def _render(cam: Camera, tris, width: int, height: int,
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
     base = jnp.take(col, best, axis=0)
+    if tex_stack is not None:
+        # per-fragment diffuse-texture sampling (Material.cpp /
+        # Texture2D.cpp): interpolate the hit's uv with the same
+        # barycentrics, bilinear-sample the triangle's texture, modulate
+        # the diffuse color.  Untextured triangles (tex -1) keep base.
+        from ..utils.texture import bilinear_sample_layered
+        uv_tri = jnp.take(uv, best, axis=0)             # (N, 3, 2)
+        frag_uv = (w0[:, None] * uv_tri[:, 0] + u[:, None] * uv_tri[:, 1]
+                   + v[:, None] * uv_tri[:, 2])
+        tid = jnp.take(tex_idx, best, axis=0)           # (N,)
+        stack, scale = tex_stack
+        texel = bilinear_sample_layered(stack, frag_uv, tid, wrap="clamp",
+                                        scale=scale)
+        base = jnp.where((tid >= 0)[:, None], base * texel, base)
     lambert = jnp.clip(jnp.sum(normal * -light_dir, axis=-1), 0.2, 1.0)
     rgb = base * lambert[:, None]
     out = jnp.where(hit[:, None], rgb, background)
@@ -80,6 +94,7 @@ class ModelRenderer:
         self.light_dir = ld / jnp.linalg.norm(ld)
         self._models = []
         self._tris = None
+        self._tex_stack = None
 
     def add_model(self, model: Model):
         self._models.append(model)
@@ -89,12 +104,33 @@ class ModelRenderer:
         if self._tris is None:
             if not self._models:
                 raise ValueError("no models added")
-            parts = [flatten_model(m) for m in self._models]
+            textures = []
+            parts = [flatten_model(m, textures) for m in self._models]
             self._tris = tuple(jnp.concatenate([p[i] for p in parts])
-                               for i in range(6))
+                               for i in range(7))
+            if textures:
+                import numpy as np
+                hmax = max(t.shape[0] for t in textures)
+                wmax = max(t.shape[1] for t in textures)
+                # pad to a common stack shape; per-layer uv scales map
+                # [0,1]^2 onto each texture's original extent
+                padded, scales = [], []
+                for t in textures:
+                    t = np.asarray(t, np.float32)
+                    scales.append([t.shape[1] / wmax, t.shape[0] / hmax])
+                    if t.shape[:2] != (hmax, wmax):
+                        t = np.pad(t, ((0, hmax - t.shape[0]),
+                                       (0, wmax - t.shape[1]), (0, 0)),
+                                   mode="edge")
+                    padded.append(t)
+                self._tex_stack = (jnp.asarray(np.stack(padded)),
+                                   jnp.asarray(scales, jnp.float32))
+            else:
+                self._tex_stack = None
         return self._tris
 
     def render(self, camera: Camera):
         """-> (H, W, 4) image (.w = hit mask) and (H, W) depth."""
-        return _render(camera, self._flat(), self.width, self.height,
-                       self.background, self.light_dir)
+        tris = self._flat()
+        return _render(camera, tris, self._tex_stack, self.width,
+                       self.height, self.background, self.light_dir)
