@@ -125,18 +125,23 @@ class NeuralRadianceCache:
 
     # -- forward ------------------------------------------------------------
     def apply(self, params: dict, x5: jax.Array, packed=None,
-              train_fast: bool = False) -> jax.Array:
+              train_fast: bool = False, fused: bool = False) -> jax.Array:
         feats = self.encoding(params["encoding"], x5, packed=packed,
                               train_fast=train_fast)
+        if fused and self.compute_dtype == jnp.bfloat16:
+            from ...ops.fused_mlp import fused_mlp_infer
+            return fused_mlp_infer(params["mlp"], feats, self.N_OUTPUT)
         return mlp_apply(params["mlp"], feats, self.compute_dtype)
 
     def infer(self, state: NrcState, x5: jax.Array) -> jax.Array:
         """Batched inference with the EMA parameters (tcnn EMA optimizer
         serves smoothed weights for inference).  The hash table is packed
         to bf16 pairs on the fly — one gathered word per corner — matching
-        tcnn's half-precision inference parameters."""
+        tcnn's half-precision inference parameters; the MLP runs in the
+        fused Pallas kernel on TPU (ops/fused_mlp.py)."""
         packed = self.encoding.pack_params(state.ema_params["encoding"])
-        return self.apply(state.ema_params, x5, packed=packed or None)
+        return self.apply(state.ema_params, x5, packed=packed or None,
+                          fused=True)
 
     # -- training -----------------------------------------------------------
     def train_step(self, state: NrcState, x5: jax.Array, target: jax.Array,

@@ -7,10 +7,10 @@ like tcnn's fully fused kernels — NO bias terms.  Matmuls run in the
 configured compute dtype (bf16 on TPU => MXU) with float32 accumulation;
 parameters are stored float32.
 
-The hot inference path has a fused Pallas kernel (ops/fused_mlp.py); this
-module is the reference implementation used for training (XLA fuses the
-forward+backward well enough) and as the oracle the kernel is tested
-against.
+This module is the reference implementation used for training (XLA fuses
+the forward+backward well) and the oracle for ops/fused_mlp.py — the
+Pallas fused-inference kernel that keeps activations in VMEM across all
+layers (the tcnn fully-fused-MLP analog), used by cache.infer on TPU.
 """
 
 from __future__ import annotations
