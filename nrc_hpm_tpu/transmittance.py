@@ -283,15 +283,15 @@ from .volume import (get_density_xyz, macro_control_xyz,  # noqa: E402
 # tail is compacted to a fraction of the lanes (with a lax.cond dense
 # fallback if the static capacity would overflow).  Below this lane count
 # the fixed compaction cost (~1 ms of nonzero+takes) beats the savings.
-COMPACT_MIN_LANES = 65536
-# (capacity fraction, #segments) schedule after the dense segments; None
-# runs to the max_steps cap.  Fractions sized from measured residual-depth
-# percentiles on the WDAS cloud (experiments/event_stats.py: shadow-ray
-# rtot p50=12, p90=25, p99=34 at segment=8).
-RATIO_DENSE_SEGMENTS = 0
-RATIO_STAGES = ((0.60, 2), (0.25, 2), (0.12, None))
-DELTA_DENSE_SEGMENTS = 0
-DELTA_STAGES = ((0.60, 1), (0.30, None))
+COMPACT_MIN_LANES = 32768
+# Stage plans: (capacity fraction, events per segment, events in stage —
+# None runs to the max_steps cap).  Stage 0 compacts IMMEDIATELY to the
+# lanes with rtot > 0 (post the upfront exp(-ctot) Russian roulette) and
+# burns one big event burst — RR + the WDAS residual-depth distribution
+# (experiments/event_stats.py: shadow-ray rtot p50=12, p90=25, p99=34)
+# resolve most lanes inside it; later stages mop up the tail.
+RATIO_PLAN = ((0.35, 16, 16), (0.10, 8, 16), (0.05, 8, None))
+DELTA_PLAN = ((0.40, 8, 8), (0.15, 8, 16), (0.06, 8, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,
@@ -413,8 +413,11 @@ def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
     killed by RR mark themselves resolved by pushing e_last past rtot)."""
 
     def body(carry):
+        # ``i`` is the GLOBAL EVENT BASE (not a segment counter): a lane's
+        # j-th event always draws index j regardless of stage boundaries,
+        # so results are independent of the compaction schedule.
         i, e_last, trans = carry
-        u = _indexed_draws_lead(seed, i.astype(jnp.uint32) * segment,
+        u = _indexed_draws_lead(seed, i.astype(jnp.uint32),
                                 segment, salt=0x9E3779B9)
         E = e_last[None, :] + jnp.cumsum(-jnp.log1p(-u), axis=0)
         t, beyond, (c_at, s_at) = _map_events(E, rcum, h, (c, sigma))
@@ -440,21 +443,23 @@ def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
             # killed lanes resolve: park their event depth past rtot
             e_new = jnp.where(small & ~survive,
                               jnp.maximum(rtot, e_new) + 1.0, e_new)
-        return i + 1, e_new, trans
+        return i + segment, e_new, trans
 
     return body
 
 
-def _run_segments(body, rtot, i0: int, i1: int, e_last, *acc):
-    """Run ``body`` for segments [i0, i1) with early exit once every lane's
-    cumulative event depth passed its residual total."""
+def _run_segments(body, rtot, e0, e1: int, e_last, *acc):
+    """Run ``body`` over events [e0, e1) with early exit once every lane's
+    cumulative event depth passed its residual total.  ``e0`` may be a
+    traced int (the carried event base from previous stages)."""
 
     def cond(carry):
         i, e_last = carry[0], carry[1]
-        return (i < i1) & jnp.any(e_last < rtot)
+        return (i < e1) & jnp.any(e_last < rtot)
 
-    out = jax.lax.while_loop(cond, body, (jnp.int32(i0), e_last) + acc)
-    return out[1:]
+    e0 = jnp.asarray(e0, jnp.int32)
+    out = jax.lax.while_loop(cond, body, (e0, e_last) + acc)
+    return out
 
 
 @_flatten_lanes
@@ -466,9 +471,10 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     Same contract as ratio_track; fine-grid gathers happen only at residual
     events, i.e. where the density actually varies.
 
-    After RATIO_DENSE_SEGMENTS full-width segments the unresolved tail is
-    compacted per RATIO_STAGES (bitwise-identical results: event draws are
-    stateless, indexed by a global segment counter)."""
+    Staged per RATIO_PLAN: compact immediately to the rtot>0 survivors of
+    the upfront RR, burn one big event burst, mop up the tail at narrow
+    caps (bitwise-identical results: event draws are stateless, indexed by
+    a global event counter)."""
     seg_vec = end - start
     tmax = jnp.linalg.norm(seg_vec, axis=-1)
     direction = seg_vec / jnp.maximum(tmax, 1e-12)[..., None]
@@ -479,11 +485,8 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
                                               coarse)
     rtot = rcum[-1]
     ctot = ccum[-1]
-    seg_count = max(1, (max_steps + segment - 1) // segment)
     n = tmax.shape[0]
 
-    body = _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
-                            segment, rtot=rtot)
     t0 = jnp.zeros_like(tmax)
     # Fold the analytic control factor exp(-ctot) in UP FRONT (same
     # expectation — it is deterministic given the profile) so Russian
@@ -502,41 +505,49 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
                            jnp.where(survive0, RR_EPS, 0.0), trans0)
 
     if not compact or n < COMPACT_MIN_LANES:
-        e_last, trans = _run_segments(body, rtot, 0, seg_count, t0, trans0)
+        body = _make_ratio_body(vol, seed, start, direction, c, sigma,
+                                rcum, h, segment, rtot=rtot)
+        _, e_last, trans = _run_segments(body, rtot, 0, max_steps, t0,
+                                         trans0)
         return trans, state
 
-    i0 = min(RATIO_DENSE_SEGMENTS, seg_count)
-    e_last, trans = _run_segments(body, rtot, 0, i0, t0, trans0)
-
-    for frac, nseg in RATIO_STAGES:
-        i1 = seg_count if nseg is None else min(i0 + nseg, seg_count)
-        if i1 <= i0:
+    e_base = jnp.int32(0)     # global event counter, carried across stages
+    e_last, trans = t0, trans0
+    e0 = 0                    # static lower bound of the current stage
+    for frac, seg_len, n_events in RATIO_PLAN:
+        e1 = max_steps if n_events is None else min(e0 + n_events,
+                                                    max_steps)
+        if e1 <= e0:
             break
         cap = max(int(n * frac), 128)
         unres = e_last < rtot
         count = jnp.sum(unres)
         (idx,) = jnp.nonzero(unres, size=cap, fill_value=n)
 
-        def compact_branch(args, i0=i0, i1=i1, idx=idx):
-            e_last, trans = args
+        def compact_branch(args, e1=e1, idx=idx, seg_len=seg_len):
+            e_base, e_last, trans = args
             seed_c, tmax_c, e_c, tr_c, start_c, dir_c = _take(
                 idx, seed, tmax, e_last, trans, start, direction)
             sg, cc, _, rc, hh = _coarse_profile(vol, start_c, dir_c, tmax_c,
                                                 coarse)
             body_c = _make_ratio_body(vol, seed_c, start_c, dir_c, cc, sg,
-                                      rc, hh, segment, rtot=rc[-1])
-            e_c, tr_c = _run_segments(body_c, rc[-1], i0, i1, e_c, tr_c)
-            return (e_last.at[idx].set(e_c, mode="drop"),
+                                      rc, hh, seg_len, rtot=rc[-1])
+            e_base, e_c, tr_c = _run_segments(body_c, rc[-1], e_base, e1,
+                                              e_c, tr_c)
+            return (e_base, e_last.at[idx].set(e_c, mode="drop"),
                     trans.at[idx].set(tr_c, mode="drop"))
 
-        def dense_branch(args, i0=i0, i1=i1):
-            e_last, trans = args
-            return _run_segments(body, rtot, i0, i1, e_last, trans)
+        def dense_branch(args, e1=e1, seg_len=seg_len):
+            e_base, e_last, trans = args
+            body = _make_ratio_body(vol, seed, start, direction, c, sigma,
+                                    rcum, h, seg_len, rtot=rtot)
+            return _run_segments(body, rtot, e_base, e1, e_last, trans)
 
-        e_last, trans = jax.lax.cond(count <= cap, compact_branch,
-                                     dense_branch, (e_last, trans))
-        i0 = i1
-        if i0 >= seg_count:
+        e_base, e_last, trans = jax.lax.cond(
+            count <= cap, compact_branch, dense_branch,
+            (e_base, e_last, trans))
+        e0 = e1
+        if e0 >= max_steps:
             break
 
     return trans, state
@@ -547,8 +558,9 @@ def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
     invert to positions, gather fine density, resolve accept/cross."""
 
     def body(carry):
+        # ``i`` is the global event base, as in _make_ratio_body
         i, e_last, resolved, res_hit, crossed, t_res = carry
-        k0 = i.astype(jnp.uint32) * segment
+        k0 = i.astype(jnp.uint32)
         u1 = _indexed_draws_lead(seed, k0, segment, salt=0x85EBCA6B)
         u2 = _indexed_draws_lead(seed, k0, segment, salt=0xC2B2AE35)
         E = e_last[None, :] + jnp.cumsum(-jnp.log1p(-u1), axis=0)
@@ -572,20 +584,21 @@ def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
         crossed = crossed | (new & ~ev_accept)
         t_res = jnp.where(new & ev_accept, ev_t, t_res)
         resolved = resolved | has_event
-        return (i + 1, E[-1], resolved, res_hit, crossed, t_res)
+        return (i + segment, E[-1], resolved, res_hit, crossed, t_res)
 
     return body
 
 
-def _run_delta_segments(body, i0: int, i1: int, carry):
-    """Run delta segments [i0, i1) with early exit once all lanes resolved."""
+def _run_delta_segments(body, e0, e1: int, carry):
+    """Run delta over events [e0, e1) with early exit once all resolved."""
 
     def cond(c):
         i, resolved = c[0], c[2]
-        return (i < i1) & ~jnp.all(resolved)
+        return (i < e1) & ~jnp.all(resolved)
 
-    out = jax.lax.while_loop(cond, body, (jnp.int32(i0),) + tuple(carry))
-    return out[1:]
+    e0 = jnp.asarray(e0, jnp.int32)
+    out = jax.lax.while_loop(cond, body, (e0,) + tuple(carry))
+    return out
 
 
 @_flatten_lanes
@@ -598,8 +611,8 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     first arrival of either stream is the collision (superposition of
     independent Poisson processes).  Same contract as delta_track.
 
-    After DELTA_DENSE_SEGMENTS full-width segments the unresolved tail is
-    compacted per DELTA_STAGES (bitwise-identical; see ratio_track_pw)."""
+    Staged per DELTA_PLAN: empty lanes resolve analytically before stage 0
+    (see ratio_track_pw for the scheme)."""
     _, exit_pt, _ = find_entry_exit(vol, ro, rd)
     tmax = jnp.linalg.norm(exit_pt - ro, axis=-1)
     if active is not None:
@@ -607,7 +620,6 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     seed, state = _track_seed(state)
     sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
     ctot = ccum[-1]
-    seg_count = max(1, (max_steps + segment - 1) // segment)
     n = tmax.shape[0]
 
     # control collision: one Exp(1) draw inverted through ccum
@@ -617,31 +629,34 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
     t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
 
-    body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment)
     f0 = jnp.zeros(tmax.shape, bool)
     t0 = jnp.zeros_like(tmax)
     inf0 = jnp.full(tmax.shape, jnp.inf)
     # lanes with zero residual depth resolve analytically: their first
     # event is necessarily beyond rtot (crossed), no fine gathers needed —
-    # this makes a stage-0 compaction skip them entirely
+    # this makes the stage-0 compaction skip them entirely
     empty = rcum[-1] <= 0.0
     carry = (t0, empty, f0, empty, inf0)  # e_last, resolved, hit, crossed, t_res
 
     if not compact or n < COMPACT_MIN_LANES:
-        carry = _run_delta_segments(body, 0, seg_count, carry)
+        body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h,
+                                segment)
+        carry = _run_delta_segments(body, 0, max_steps, carry)[1:]
     else:
-        i0 = min(DELTA_DENSE_SEGMENTS, seg_count)
-        carry = _run_delta_segments(body, 0, i0, carry)
-        for frac, nseg in DELTA_STAGES:
-            i1 = seg_count if nseg is None else min(i0 + nseg, seg_count)
-            if i1 <= i0:
+        e_base = jnp.int32(0)
+        e0 = 0
+        for frac, seg_len, n_events in DELTA_PLAN:
+            e1 = max_steps if n_events is None else min(e0 + n_events,
+                                                        max_steps)
+            if e1 <= e0:
                 break
             cap = max(int(n * frac), 128)
             unres = ~carry[1]
             count = jnp.sum(unres)
             (idx,) = jnp.nonzero(unres, size=cap, fill_value=n)
 
-            def compact_branch(carry, i0=i0, i1=i1, idx=idx):
+            def compact_branch(args, e1=e1, idx=idx, seg_len=seg_len):
+                e_base, carry = args[0], args[1:]
                 seed_c, tmax_c, ro_c, rd_c = _take(idx, seed, tmax, ro, rd)
                 cc = _take(idx, *carry)
                 # fill lanes must not run: mark them resolved
@@ -649,18 +664,23 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                 sg, ct, _, rc, hh = _coarse_profile(vol, ro_c, rd_c, tmax_c,
                                                     coarse)
                 body_c = _make_delta_body(vol, seed_c, ro_c, rd_c, ct, sg,
-                                          rc, hh, segment)
-                out = _run_delta_segments(body_c, i0, i1, tuple(cc))
-                return tuple(a.at[idx].set(o, mode="drop")
-                             for a, o in zip(carry, out))
+                                          rc, hh, seg_len)
+                out = _run_delta_segments(body_c, e_base, e1, tuple(cc))
+                return (out[0],) + tuple(
+                    a.at[idx].set(o, mode="drop")
+                    for a, o in zip(carry, out[1:]))
 
-            def dense_branch(carry, i0=i0, i1=i1):
-                return _run_delta_segments(body, i0, i1, carry)
+            def dense_branch(args, e1=e1, seg_len=seg_len):
+                e_base, carry = args[0], args[1:]
+                body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum,
+                                        h, seg_len)
+                return _run_delta_segments(body, e_base, e1, carry)
 
-            carry = jax.lax.cond(count <= cap, compact_branch, dense_branch,
-                                 carry)
-            i0 = i1
-            if i0 >= seg_count:
+            out = jax.lax.cond(count <= cap, compact_branch, dense_branch,
+                               (e_base,) + tuple(carry))
+            e_base, carry = out[0], tuple(out[1:])
+            e0 = e1
+            if e0 >= max_steps:
                 break
 
     _, resolved, res_hit, crossed, t_res = carry
