@@ -39,11 +39,22 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Load arrays saved by save_pytree into the structure of ``like``
-    (the treedef string is stored for debugging; structure comes from
-    ``like`` so optimizer pytrees with custom nodes restore cleanly)."""
+    """Load arrays saved by save_pytree into the structure of ``like``.
+
+    Structure comes from ``like`` (so optimizer pytrees with custom nodes
+    restore cleanly), but the STORED treedef string must match ``like``'s:
+    same-shaped leaves under a different structure (e.g. a changed
+    optimizer config between save and load) are rejected instead of being
+    silently misassigned."""
     data = np.load(path, allow_pickle=False)
     leaves, treedef = jax.tree.flatten(like)
+    if "__treedef__" in data:
+        stored = bytes(data["__treedef__"].tobytes()).decode()
+        if stored != str(treedef):
+            raise ValueError(
+                f"checkpoint {path} was saved with a different pytree "
+                f"structure than the target:\n  saved:  {stored[:200]}\n"
+                f"  target: {str(treedef)[:200]}")
     n = len(leaves)
     loaded = []
     for i in range(n):

@@ -118,3 +118,19 @@ def test_reset_accumulation():
     st2 = reset_accumulation(st)
     assert float(jnp.abs(st2.image).sum()) == 0.0
     assert int(st2.blend_index) == 1
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """Same-shaped leaves under a different pytree structure must be
+    rejected, not silently misassigned (e.g. optimizer config changed
+    between save and load)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from nrc_hpm_tpu.utils.checkpoint import load_pytree, save_pytree
+    p = str(tmp_path / "ck.npz")
+    a = {"x": jnp.zeros((3,)), "y": jnp.ones((3,))}
+    save_pytree(p, a)
+    b = {"x": jnp.zeros((3,)), "z": jnp.ones((3,))}  # same shapes, new key
+    with pytest.raises(ValueError, match="different pytree structure"):
+        load_pytree(p, b)
