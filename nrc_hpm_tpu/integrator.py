@@ -276,9 +276,24 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
                 point, direction, radiance, factor, alive, state)
         return point, direction, radiance, factor, scattered, alive, state
 
-    carry = (entry, rd, radiance0, factor0, scat0, alive0, state)
-    carry = jax.lax.fori_loop(0, n_bounces, body, carry)
-    point, direction, radiance, factor, scattered, alive, state = carry
+    # while-loop with an any-alive early exit: the reference's threads
+    # simply return (gen_rays.comp:39-42); for long train paths most lanes
+    # exit the volume well before TRAIN_RAY_LENGTH, and dead bounces would
+    # still pay compaction + profile machinery under a fori_loop
+    def cond(c):
+        i = c[0]
+        alive = c[6]
+        return (i < n_bounces) & jnp.any(alive)
+
+    def wbody(c):
+        i = c[0]
+        out = body(i, c[1:])
+        return (i + 1,) + tuple(out)
+
+    carry = (jnp.int32(0), entry, rd, radiance0, factor0, scat0, alive0,
+             state)
+    carry = jax.lax.while_loop(cond, wbody, carry)
+    _, point, direction, radiance, factor, scattered, alive, state = carry
 
     return dict(radiance=radiance, throughput=factor, did_scatter=scattered,
                 terminal_pos=point, terminal_dir=direction, state=state)

@@ -1,0 +1,284 @@
+"""Pallas TPU kernel: the piecewise-majorant tracking event engine.
+
+One kernel fuses, per tracking segment, everything the XLA path spreads
+over a dozen fused regions (transmittance.py: _coarse_profile +
+_indexed_draws_lead + _map_events + position/index math):
+
+  1. the coarse majorant/control profile along each lane's segment —
+     C+1 regular samples of the bf16-packed macrocell table, served by an
+     in-register rowsweep over the whole table (VMEM-resident, ~28 rows);
+  2. the control/residual cumulative optical depths (ccum/rcum);
+  3. S stateless Exp(1) event draws per lane (Jenkins-hash indexed by the
+     global event counter — bit-identical to transmittance._indexed_draws);
+  4. inversion of the piecewise-linear rcum at each event depth via
+     telescoping step-indicator sums;
+  5. the fine-density-grid linear index, interval control c_at and
+     residual width sres = sigma - c at each event.
+
+The ONE thing that stays outside is the fine-grid density gather itself
+(1.7M voxels — far beyond any in-kernel gather primitive; XLA's scalar
+gather path serves it), plus the cheap transmittance/resolution fold.
+
+Every intermediate that the XLA path materialized in HBM ((C, N) profiles,
+(S, C, N) membership products) lives in VMEM scratch here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS = 8               # lane-rows per program: 8 x 128 = 1024 lanes
+_SALT_EVENT = 0x9E3779B9   # matches transmittance ratio event draws
+_SALT_DELTA = 0x85EBCA6B   # matches transmittance delta event draws
+
+def _hash_u32(x):
+    x = x + (x << 10)
+    x = x ^ (x >> 6)
+    x = x + (x << 3)
+    x = x ^ (x >> 11)
+    x = x + (x << 15)
+    return x
+
+
+def _uniform(seed, k, salt: int):
+    """float in [0,1): float_construct(hash(seed ^ hash(salt + k))).
+    Constants stay numpy scalars so the kernel captures nothing."""
+    import numpy as np
+    hk = _hash_u32(k + np.uint32(salt))
+    m = _hash_u32(seed ^ hk)
+    f = jax.lax.bitcast_convert_type(
+        (m & 0x007FFFFF) | 0x3F800000, jnp.float32)
+    return f - 1.0
+
+
+def _unpack_profile(word_f32):
+    """bf16-packed (majorant, control) word (bitcast f32) -> (sig, ctl)."""
+    w = jax.lax.bitcast_convert_type(word_f32, jnp.uint32)
+    sig = jax.lax.bitcast_convert_type(w & jnp.uint32(0xFFFF0000),
+                                       jnp.float32)
+    ctl = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+    return sig, jnp.minimum(ctl, sig)
+
+
+def _make_kernel(C: int, S: int, n_rows: int, salt: int):
+    def kernel(params, ebase_smem, tbl_ref,
+               sx, sy, sz, dx, dy, dz, tmax_ref, seed_ref, elast_ref,
+               lin_out, t_out, c_out, sres_out, enew_out, rtot_out,
+               ctot_out, sig_scr, ctl_scr, rcum_scr):
+        # scene constants (volume.py geometry; see pw_events caller)
+        inv_skyx, inv_skyy, inv_skyz = params[0], params[1], params[2]
+        mx, my, mz = params[3], params[4], params[5]
+        X, Y, Z = params[6], params[7], params[8]
+        density_factor = params[9]
+
+        tbl = tbl_ref[...]
+        ox, oy, oz = sx[...], sy[...], sz[...]
+        vx, vy, vz = dx[...], dy[...], dz[...]
+        tmax = tmax_ref[...]
+        h = tmax * (1.0 / C)
+
+        def macro_lookup(px, py, pz):
+            # cell coords
+            cx = (px * inv_skyx + 0.5) * mx
+            cy = (py * inv_skyy + 0.5) * my
+            cz = (pz * inv_skyz + 0.5) * mz
+            in_strict = ((cx >= 0) & (cx < mx) & (cy >= 0) & (cy < my)
+                         & (cz >= 0) & (cz < mz))
+            in_ext = ((cx >= -1) & (cx < mx + 1) & (cy >= -1)
+                      & (cy < my + 1) & (cz >= -1) & (cz < mz + 1))
+            ix = jnp.clip(jnp.floor(cx), 0.0, mx - 1.0)
+            iy = jnp.clip(jnp.floor(cy), 0.0, my - 1.0)
+            iz = jnp.clip(jnp.floor(cz), 0.0, mz - 1.0)
+            lin = (ix * (my * mz) + iy * mz + iz).astype(jnp.int32)
+            r = lin // LANES
+            c = lin % LANES
+            acc = jnp.zeros(lin.shape, jnp.float32)
+            for row in range(n_rows):
+                rowv = jnp.broadcast_to(tbl[row][None, :], lin.shape)
+                picked = jnp.take_along_axis(rowv, c, axis=1)
+                acc = jnp.where(r == row, picked, acc)
+            sig, ctl = _unpack_profile(acc)
+            sig = jnp.where(in_ext, sig, 0.0) * density_factor
+            ctl = jnp.where(in_strict, ctl, 0.0) * density_factor
+            return sig, ctl
+
+        # ---- profile: C+1 points -> C intervals + cumsums ----
+        t_i = jnp.zeros_like(h)
+        p_sig, p_ctl = macro_lookup(ox, oy, oz)
+        ccum = jnp.zeros_like(h)
+        rcum = jnp.zeros_like(h)
+        for i in range(C):
+            t_i = t_i + h
+            nx = ox + t_i * vx
+            ny = oy + t_i * vy
+            nz = oz + t_i * vz
+            n_sig, n_ctl = macro_lookup(nx, ny, nz)
+            sig = jnp.maximum(p_sig, n_sig)
+            ctl = jnp.minimum(jnp.minimum(p_ctl, n_ctl), sig)
+            sig_scr[i] = sig
+            ctl_scr[i] = ctl
+            ccum = ccum + ctl * h
+            rcum = rcum + (sig - ctl) * h
+            rcum_scr[i] = rcum
+            p_sig, p_ctl = n_sig, n_ctl
+        rtot_out[...] = rcum
+        ctot_out[...] = ccum
+
+        # ---- S events: draw, invert, emit ----
+        seed = seed_ref[...]
+        e_base = ebase_smem[0]
+        E = elast_ref[...]
+        for s in range(S):
+            k = (jnp.uint32(e_base) + jnp.uint32(s)
+                 + jnp.zeros(seed.shape, jnp.uint32))
+            u = _uniform(seed, k, salt)
+            E = E - jnp.log1p(-u)
+            # telescoping inversion over the C intervals
+            kacc = jnp.zeros_like(E)
+            e_left = jnp.zeros_like(E)
+            c_at = ctl_scr[0]
+            sig_at = sig_scr[0]
+            r_prev = jnp.zeros_like(E)
+            for ci in range(C - 1):
+                rc = rcum_scr[ci]
+                ge = E >= rc
+                gef = ge.astype(jnp.float32)
+                kacc = kacc + gef
+                e_left = e_left + gef * (rc - r_prev) \
+                    if ci > 0 else e_left + gef * rc
+                c_at = c_at + gef * (ctl_scr[ci + 1] - ctl_scr[ci])
+                sig_at = sig_at + gef * (sig_scr[ci + 1] - sig_scr[ci])
+                r_prev = rc
+            beyond = E >= rcum
+            # e_left currently sums ge_c * d_rcum with d relative to the
+            # PREVIOUS rcum — i.e. e_left = rcum[kacc-1] for kacc >= 1
+            sres = jnp.maximum(sig_at - c_at, 1e-12)
+            rate_h = sres * h
+            t = kacc * h + (E - e_left) * h / jnp.maximum(rate_h, 1e-20)
+            t = jnp.where(beyond, -1.0, t)
+            px = ox + t * vx
+            py = oy + t * vy
+            pz = oz + t * vz
+            ux = px * inv_skyx + 0.5
+            uy = py * inv_skyy + 0.5
+            uz = pz * inv_skyz + 0.5
+            inside = ((ux >= 0.0) & (ux < 1.0) & (uy >= 0.0) & (uy < 1.0)
+                      & (uz >= 0.0) & (uz < 1.0))
+            gx = jnp.clip(jnp.floor(ux * X), 0.0, X - 1.0)
+            gy = jnp.clip(jnp.floor(uy * Y), 0.0, Y - 1.0)
+            gz = jnp.clip(jnp.floor(uz * Z), 0.0, Z - 1.0)
+            lin = (gx * (Y * Z) + gy * Z + gz).astype(jnp.int32)
+            lin = jnp.where(inside & ~beyond, lin, -1)
+            lin_out[s] = lin
+            t_out[s] = t
+            c_out[s] = c_at
+            sres_out[s] = sres
+        enew_out[...] = E
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "S", "n_rows", "salt",
+                                    "interpret"))
+def _pw_events_call(params, e_base, tbl, sx, sy, sz, dx, dy, dz, tmax,
+                    seed, e_last, *, C: int, S: int, n_rows: int,
+                    salt: int, interpret: bool = False):
+    nr = tmax.shape[0]
+    grid = (nr // ROWS,)
+
+    def full(g):
+        return (0, g, 0)
+
+    def lane(g):
+        return (g, 0)
+
+    vm = pltpu.VMEM
+    lane_in = pl.BlockSpec((ROWS, LANES), lane, memory_space=vm)
+    ev_out = pl.BlockSpec((S, ROWS, LANES), full, memory_space=vm)
+    lane_out = pl.BlockSpec((ROWS, LANES), lane, memory_space=vm)
+    return pl.pallas_call(
+        _make_kernel(C, S, n_rows, salt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # e_base
+            pl.BlockSpec((n_rows, LANES), lambda g: (0, 0),
+                         memory_space=vm),           # macro table
+        ] + [lane_in] * 9,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, nr, LANES), jnp.int32),    # lin
+            jax.ShapeDtypeStruct((S, nr, LANES), jnp.float32),  # t
+            jax.ShapeDtypeStruct((S, nr, LANES), jnp.float32),  # c_at
+            jax.ShapeDtypeStruct((S, nr, LANES), jnp.float32),  # sres
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),     # e_new
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),     # rtot
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),     # ctot
+        ),
+        out_specs=(ev_out, ev_out, ev_out, ev_out, lane_out, lane_out,
+                   lane_out),
+        scratch_shapes=[
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # sig_scr
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ctl_scr
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # rcum_scr
+        ],
+        interpret=interpret,
+    )(params, e_base, tbl, sx, sy, sz, dx, dy, dz, tmax, seed, e_last)
+
+
+def pw_events(vol, start, direction, tmax, seed, e_last, e_base,
+              C: int = 32, S: int = 8, salt: int = _SALT_EVENT,
+              interpret: bool = False):
+    """Fused profile + event generation for one tracking segment.
+
+    start/direction: (N, 3); tmax/seed(u32)/e_last: (N,).
+    Returns dict with lin/t/c_at/sres (S, N) [t = -1 marks beyond-events,
+    lin = -1 marks no-density positions], e_new/rtot/ctot (N,).
+    The caller gathers density as
+    ``take(grid.reshape(-1), lin, fill 0) / 255 * density_factor``.
+    """
+    assert C == 32, "scratch shapes are sized for C == 32"
+    n = tmax.shape[0]
+    pad = (-n) % (ROWS * LANES)
+
+    def lanes2d(a):
+        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
+        return a.reshape(-1, LANES) if a.ndim == 1 else a
+
+    mx, my, mz = vol.macro_dims
+    X, Y, Z = vol.dims
+    sky = vol.sky_size
+    params = jnp.concatenate([
+        1.0 / sky, jnp.asarray([mx, my, mz, X, Y, Z], jnp.float32),
+        vol.density_factor[None], sky, jnp.zeros((3,), jnp.float32)])
+    n_rows = -(-vol.macro_packed.shape[0] // LANES)
+    tbl = jnp.pad(vol.macro_packed,
+                  (0, n_rows * LANES - vol.macro_packed.shape[0]))
+    tbl = jax.lax.bitcast_convert_type(
+        tbl.reshape(n_rows, LANES), jnp.float32)
+
+    outs = _pw_events_call(
+        params, jnp.asarray([e_base], jnp.int32), tbl,
+        lanes2d(start[:, 0]), lanes2d(start[:, 1]), lanes2d(start[:, 2]),
+        lanes2d(direction[:, 0]), lanes2d(direction[:, 1]),
+        lanes2d(direction[:, 2]),
+        lanes2d(tmax), lanes2d(seed.astype(jnp.uint32)), lanes2d(e_last),
+        C=C, S=S, n_rows=n_rows, salt=salt, interpret=interpret)
+    lin, t, c_at, sres, e_new, rtot, ctot = outs
+
+    def unlanes_ev(a):
+        return a.reshape(S, -1)[:, :n]
+
+    def unlanes(a):
+        return a.reshape(-1)[:n]
+
+    return dict(lin=unlanes_ev(lin), t=unlanes_ev(t),
+                c_at=unlanes_ev(c_at), sres=unlanes_ev(sres),
+                e_new=unlanes(e_new), rtot=unlanes(rtot),
+                ctot=unlanes(ctot))

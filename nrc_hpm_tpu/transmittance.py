@@ -284,14 +284,16 @@ from .volume import (get_density_xyz, macro_control_xyz,  # noqa: E402
 # fallback if the static capacity would overflow).  Below this lane count
 # the fixed compaction cost (~1 ms of nonzero+takes) beats the savings.
 COMPACT_MIN_LANES = 32768
-# Stage plans: (capacity fraction, events per segment, events in stage —
-# None runs to the max_steps cap).  Stage 0 compacts IMMEDIATELY to the
-# lanes with rtot > 0 (post the upfront exp(-ctot) Russian roulette) and
-# burns one big event burst — RR + the WDAS residual-depth distribution
-# (experiments/event_stats.py: shadow-ray rtot p50=12, p90=25, p99=34)
-# resolve most lanes inside it; later stages mop up the tail.
-RATIO_PLAN = ((0.35, 16, 16), (0.10, 8, 16), (0.05, 8, None))
-DELTA_PLAN = ((0.40, 8, 8), (0.15, 8, 16), (0.06, 8, None))
+# Stage plans: (capacity fraction or None, events per segment, events in
+# stage — None events runs to the max_steps cap).  A None capacity runs
+# the stage DENSE with no nonzero/compaction (for call sites whose lanes
+# arrive pre-compacted and mostly live, the stage-0 nonzero at 2M lanes
+# costs ~16 ms and the cap would overflow anyway); small segments with the
+# any-unresolved early exit keep dense stages adaptive.  Fractions sized
+# from the WDAS residual-depth percentiles (experiments/event_stats.py:
+# shadow-ray rtot p50=12, p90=25, p99=34) tightened by Russian roulette.
+RATIO_PLAN = ((None, 8, 16), (0.22, 8, 16), (0.08, 8, None))
+DELTA_PLAN = ((0.55, 8, 8), (0.25, 8, 16), (0.10, 8, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,
@@ -405,12 +407,70 @@ def _take(idx, *arrays):
 RR_EPS = 1.0 / 32.0
 
 
+def _use_event_kernel(n_intervals: int) -> bool:
+    import os
+    return (jax.default_backend() == "tpu" and n_intervals == 32
+            and not os.environ.get("NRC_NO_PALLAS"))
+
+
+def _ratio_rr(seed, i, trans, e_new, rtot, rr_eps):
+    """Russian roulette after a fold: lanes with |trans| < rr_eps survive
+    with probability |trans|/rr_eps (weight reset) or park their event
+    depth past rtot (resolved)."""
+    alive = e_new < rtot
+    small = alive & (jnp.abs(trans) < rr_eps)
+    u_rr = _indexed_draws_lead(seed, i.astype(jnp.uint32), 1,
+                               salt=0x7FEB352D)[0]
+    survive = u_rr * rr_eps < jnp.abs(trans)
+    trans = jnp.where(small,
+                      jnp.where(survive, jnp.sign(trans) * rr_eps, 0.0),
+                      trans)
+    e_new = jnp.where(small & ~survive,
+                      jnp.maximum(rtot, e_new) + 1.0, e_new)
+    return trans, e_new
+
+
+def _make_ratio_body_kernel(vol, seed, start, direction, tmax,
+                            segment: int, rr_eps: float = RR_EPS):
+    """Kernel-served ratio segment: ops/pw_kernels.pw_events fuses the
+    profile + draws + inversion; only the fine-density gather and the
+    factor fold stay in XLA."""
+    from .ops.pw_kernels import pw_events
+    grid_flat = vol.grid.reshape(-1)
+    scale = vol.density_factor * (1.0 / 255.0)
+
+    def body(carry):
+        i, e_last, trans = carry
+        ev = pw_events(vol, start, direction, tmax, seed, e_last, i,
+                       S=segment)
+        raw = jnp.take(grid_flat, ev["lin"], mode="fill", fill_value=0)
+        dens = raw.astype(jnp.float32) * scale
+        factors = jnp.where(
+            ev["t"] < 0.0, 1.0,
+            1.0 - jnp.clip(dens - ev["c_at"], 0.0, None) / ev["sres"])
+        trans = trans * jnp.prod(factors, axis=0)
+        e_new = ev["e_new"]
+        if rr_eps > 0.0:
+            trans, e_new = _ratio_rr(seed, i, trans, e_new, ev["rtot"],
+                                     rr_eps)
+        return i + segment, e_new, trans
+
+    return body
+
+
 def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
                      segment: int, rtot=None, rr_eps: float = RR_EPS):
     """One ratio-tracking segment: draw ``segment`` Exp(1) event depths,
     invert through rcum, gather fine density, fold residual factors.
     With ``rtot`` given, applies Russian roulette after the fold (lanes
-    killed by RR mark themselves resolved by pushing e_last past rtot)."""
+    killed by RR mark themselves resolved by pushing e_last past rtot).
+
+    On TPU the body is the fused Pallas event kernel."""
+    if _use_event_kernel(rcum.shape[0]) and rtot is not None:
+        C = rcum.shape[0]
+        tmax = h * C
+        return _make_ratio_body_kernel(vol, seed, start, direction, tmax,
+                                       segment, rr_eps)
 
     def body(carry):
         # ``i`` is the GLOBAL EVENT BASE (not a segment counter): a lane's
@@ -431,18 +491,7 @@ def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
         trans = trans * jnp.prod(factors, axis=0)
         e_new = E[-1]
         if rtot is not None and rr_eps > 0.0:
-            alive = e_new < rtot
-            small = alive & (jnp.abs(trans) < rr_eps)
-            u_rr = _indexed_draws_lead(seed, i.astype(jnp.uint32), 1,
-                                       salt=0x7FEB352D)[0]
-            survive = u_rr * rr_eps < jnp.abs(trans)
-            trans = jnp.where(small,
-                              jnp.where(survive,
-                                        jnp.sign(trans) * rr_eps, 0.0),
-                              trans)
-            # killed lanes resolve: park their event depth past rtot
-            e_new = jnp.where(small & ~survive,
-                              jnp.maximum(rtot, e_new) + 1.0, e_new)
+            trans, e_new = _ratio_rr(seed, i, trans, e_new, rtot, rr_eps)
         return i + segment, e_new, trans
 
     return body
@@ -519,6 +568,13 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
                                                     max_steps)
         if e1 <= e0:
             break
+        if frac is None:
+            body = _make_ratio_body(vol, seed, start, direction, c, sigma,
+                                    rcum, h, seg_len, rtot=rtot)
+            e_base, e_last, trans = _run_segments(body, rtot, e_base, e1,
+                                                  e_last, trans)
+            e0 = e1
+            continue
         cap = max(int(n * frac), 128)
         unres = e_last < rtot
         count = jnp.sum(unres)
@@ -553,9 +609,47 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     return trans, state
 
 
+def _make_delta_body_kernel(vol, seed, ro, rd, tmax, segment: int):
+    """Kernel-served delta segment (see _make_ratio_body_kernel)."""
+    from .ops.pw_kernels import _SALT_DELTA, pw_events
+    grid_flat = vol.grid.reshape(-1)
+    scale = vol.density_factor * (1.0 / 255.0)
+
+    def body(carry):
+        i, e_last, resolved, res_hit, crossed, t_res = carry
+        ev = pw_events(vol, ro, rd, tmax, seed, e_last, i,
+                       S=segment, salt=_SALT_DELTA)
+        u2 = _indexed_draws_lead(seed, i.astype(jnp.uint32), segment,
+                                 salt=0xC2B2AE35)
+        raw = jnp.take(grid_flat, ev["lin"], mode="fill", fill_value=0)
+        dens = raw.astype(jnp.float32) * scale
+        beyond = ev["t"] < 0.0
+        accept = ~beyond & (
+            jnp.clip(dens - ev["c_at"], 0.0, None) / ev["sres"] > u2)
+        event = accept | beyond
+        first_mask = event & (jnp.cumsum(event.astype(jnp.int32), axis=0)
+                              == 1)
+        has_event = jnp.any(event, axis=0)
+        ev_accept = jnp.any(first_mask & accept, axis=0)
+        ev_t = jnp.sum(jnp.where(first_mask, ev["t"], 0.0), axis=0)
+        new = ~resolved & has_event
+        res_hit = res_hit | (new & ev_accept)
+        crossed = crossed | (new & ~ev_accept)
+        t_res = jnp.where(new & ev_accept, ev_t, t_res)
+        resolved = resolved | has_event
+        return (i + segment, ev["e_new"], resolved, res_hit, crossed,
+                t_res)
+
+    return body
+
+
 def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
     """One delta-tracking segment over the residual stream: draw events,
-    invert to positions, gather fine density, resolve accept/cross."""
+    invert to positions, gather fine density, resolve accept/cross.
+    On TPU the body is the fused Pallas event kernel."""
+    if _use_event_kernel(rcum.shape[0]):
+        return _make_delta_body_kernel(vol, seed, ro, rd, h * rcum.shape[0],
+                                       segment)
 
     def body(carry):
         # ``i`` is the global event base, as in _make_ratio_body
@@ -650,6 +744,13 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                                                         max_steps)
             if e1 <= e0:
                 break
+            if frac is None:
+                body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum,
+                                        h, seg_len)
+                out = _run_delta_segments(body, e_base, e1, carry)
+                e_base, carry = out[0], tuple(out[1:])
+                e0 = e1
+                continue
             cap = max(int(n * frac), 128)
             unres = ~carry[1]
             count = jnp.sum(unres)
