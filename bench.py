@@ -16,6 +16,7 @@ vs_baseline is relative to the round-1 measurement of this same metric
 """
 
 import json
+import os
 import sys
 import time
 
@@ -65,12 +66,21 @@ def main():
     log(f"nrc online: {dt*1000:.1f} ms/frame, {nrc_rays_s:.3e} rays/s, "
         f"loss {float(state.nrc.loss):.4f}")
 
+    full = os.environ.get("NRC_BENCH_FULL")
+
     # ---- context: frozen-cache frame (BASELINE config 3) ----
-    try:
-        fdt, state = wall(lambda s: r.step(s, cam, train=False), 4, state)
-        log(f"nrc frozen: {fdt*1000:.1f} ms/frame, {n_rays/fdt:.3e} rays/s")
-    except Exception as e:
-        log(f"frozen bench skipped: {e}")
+    if full:
+        try:
+            # warm first: the frozen step is its own jit program whose
+            # compile (~minutes) must not leak into the timing
+            state = r.step(state, cam, train=False)
+            jax.block_until_ready(state.image)
+            fdt, state = wall(lambda s: r.step(s, cam, train=False), 4,
+                              state)
+            log(f"nrc frozen: {fdt*1000:.1f} ms/frame, "
+                f"{n_rays/fdt:.3e} rays/s")
+        except Exception as e:
+            log(f"frozen bench skipped: {e}")
 
     # ---- context: NRC inference samples/s (compacted scatter set) ----
     try:
@@ -96,6 +106,8 @@ def main():
 
     # ---- context: MC renderer rays/s ----
     try:
+        if not full:
+            raise RuntimeError("set NRC_BENCH_FULL=1 for the MC bench")
         mc = McRenderer(cfg)
         mst = mc.init_state(0)
         mst = mc.step(mst, cam)
@@ -107,6 +119,8 @@ def main():
 
     # ---- context: reference-default encoding (2^19 tables) ----
     try:
+        if not full:
+            raise RuntimeError("set NRC_BENCH_FULL=1 for the 2^19 bench")
         r19 = NrcRenderer(AppConfig())
         s19 = r19.init_state(0)
         s19 = r19.step(s19, cam, train=True)

@@ -100,8 +100,19 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
     TraceScene(pos, dir, hdrEnvMapUniformDir) (path_trace.glsl:139-148) used
     by the ReSTIR shading pass: the environment term uses the SUPPLIED
     direction with a 16-step fixed transmittance instead of drawing a fresh
-    random direction with ratio tracking."""
+    random direction with ratio tracking.
+
+    When more than one light needs a ratio-tracked shadow segment, the
+    segments are CONCATENATED into one tracking call (pw/fast modes): each
+    call's coarse-profile + event machinery is serial-depth on the frame's
+    critical path, and the stateless per-lane RNG makes the batched call
+    bitwise-identical to the sequential one (lane k's seed is the chain
+    state it would have seen sequentially — see _track_seed)."""
     total = jnp.zeros(pos.shape, pos.dtype)
+
+    # Gather the ratio-tracked shadow segments of every enabled light:
+    # (start, end, weight_fn) where weight_fn(trans) -> rgb contribution.
+    segs = []
 
     if p.flags.dir_on:
         # TraceDirLight (path_trace.glsl:45-56)
@@ -109,23 +120,23 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
         to_exit_dir = -dl.direction / jnp.linalg.norm(dl.direction)
         _, exit_pt, _ = find_entry_exit(
             vol, pos, jnp.broadcast_to(to_exit_dir, pos.shape))
-        trans, state = p.ratio_track(state, vol, pos, exit_pt,
-                                     p.max_track_steps, active=active)
         phase = hg_phase(jnp.sum(dl.direction * -direction, axis=-1), vol.g)
-        total = total + (trans * dl.strength * phase)[..., None]
+        segs.append((pos, exit_pt,
+                     lambda trans, ph=phase, dl=dl:
+                     (trans * dl.strength * ph)[..., None]))
 
     if p.flags.point_on:
         # TracePointLight (path_trace.glsl:58-69) — note the reference
         # ratio-tracks from the LIGHT to the shading point.
         pl = lights.point_light
         lpos = jnp.broadcast_to(pl.pos, pos.shape)
-        trans, state = p.ratio_track(state, vol, lpos, pos,
-                                     p.max_track_steps, active=active)
         to_light = lpos - pos
         to_light = to_light / jnp.maximum(
             jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-12)
         phase = hg_phase(jnp.sum(to_light * -direction, axis=-1), vol.g)
-        total = total + pl.color * (pl.strength * trans * phase)[..., None]
+        segs.append((lpos, pos,
+                     lambda trans, ph=phase, pl=pl:
+                     pl.color * (pl.strength * trans * ph)[..., None]))
 
     if p.flags.env_on:
         if env_dir is not None:
@@ -145,10 +156,33 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
                                           phase_sampling=False, active=active)
             phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
             _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
-            trans, state = p.ratio_track(state, vol, pos, exit_pt,
-                                         p.max_track_steps, active=active)
             env = sample_env_map(lights.env, rand_dir)
-            total = total + env * (phase * trans)[..., None]
+            segs.append((pos, exit_pt,
+                         lambda trans, ph=phase, env=env:
+                         env * (ph * trans)[..., None]))
+
+    if len(segs) > 1 and p.mode in ("pw", "fast") and pos.ndim == 2:
+        # One batched tracking call over all shadow segments.  The k-th
+        # segment's lanes get the RNG chain state a k-th sequential call
+        # would have started from, so draws are bitwise-identical.
+        states = [state]
+        for _ in range(len(segs) - 1):
+            _, nxt = rng.uniform(states[-1])
+            states.append(nxt)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+        trans_cat, state_cat = p.ratio_track(
+            cat(states), vol, cat([s[0] for s in segs]),
+            cat([s[1] for s in segs]), p.max_track_steps,
+            active=None if active is None else cat([active] * len(segs)))
+        n = pos.shape[0]
+        state = state_cat[-n:]
+        for k, (_, _, weight) in enumerate(segs):
+            total = total + weight(trans_cat[k * n:(k + 1) * n])
+    else:
+        for start, end, weight in segs:
+            trans, state = p.ratio_track(state, vol, start, end,
+                                         p.max_track_steps, active=active)
+            total = total + weight(trans)
 
     return total, state
 

@@ -67,9 +67,16 @@ def _chain_time(fn, args, ns=(1, 4)) -> float:
     return max((times[n2] - times[n1]) / (n2 - n1), 0.0)
 
 
-def profile_nrc_frame(renderer, state, camera, ns=(1, 4)) -> Dict[str, float]:
+def profile_nrc_frame(renderer, state, camera, ns=(1, 4),
+                      include_total: bool = True,
+                      total_ms: float | None = None) -> Dict[str, float]:
     """Profile one NRC frame stage by stage.  Returns {stage: ms} plus
-    'total' (the real fused step) and 'theoretical_fps' = 1000/total."""
+    'total' (the real fused step) and 'theoretical_fps' = 1000/total.
+
+    ``include_total=False`` (or a pre-measured ``total_ms``) skips chain-
+    timing the full step — it recompiles the whole-frame program (~minutes
+    for the staged pipeline), which callers that already timed the jitted
+    step can avoid."""
     from .camera import pixel_rays
     from .renderer import (NrcRenderState, pack_nrc_inputs,  # noqa: F401
                            primary_pass_compact)
@@ -185,8 +192,12 @@ def profile_nrc_frame(renderer, state, camera, ns=(1, 4)) -> Dict[str, float]:
     # total: the real fused step --------------------------------------------
     def full(s):
         return r._step(s, camera, vol, lights, train=True)
-    out["total"] = _chain_time(full, (state,), ns) * 1e3
-    out["theoretical_fps"] = 1000.0 / max(out["total"], 1e-9)
+    if total_ms is not None:
+        out["total"] = total_ms
+    elif include_total:
+        out["total"] = _chain_time(full, (state,), ns) * 1e3
+    if "total" in out:
+        out["theoretical_fps"] = 1000.0 / max(out["total"], 1e-9)
     out["stage_sum"] = sum(out[k] for k in (
         "clear", "gen_rays", "prep_infer", "filter", "nn_infer",
         "prep_train", "nn_train", "render"))
@@ -202,5 +213,6 @@ def format_stage_report(stages: Dict[str, float]) -> str:
     for k in order:
         if k in stages:
             lines.append(f"  {k:<12s} {stages[k]:9.2f}")
-    lines.append(f"  theoretical FPS: {stages['theoretical_fps']:.2f}")
+    if "theoretical_fps" in stages:
+        lines.append(f"  theoretical FPS: {stages['theoretical_fps']:.2f}")
     return "\n".join(lines)
