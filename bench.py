@@ -66,10 +66,16 @@ def main():
     log(f"nrc online: {dt*1000:.1f} ms/frame, {nrc_rays_s:.3e} rays/s, "
         f"loss {float(state.nrc.loss):.4f}")
 
-    full = os.environ.get("NRC_BENCH_FULL")
+    # Full mode is ON unless explicitly disabled (NRC_BENCH_FULL=0): the
+    # BASELINE metric set (MC, frozen-cache, 2^19, inference) must be
+    # recorded every round (VERDICT r2 item 5).
+    full = os.environ.get("NRC_BENCH_FULL", "1").lower() \
+        not in ("", "0", "false")
 
     # ---- context: frozen-cache frame (BASELINE config 3) ----
-    if full:
+    if not full:
+        log("frozen bench skipped: set NRC_BENCH_FULL=1")
+    else:
         try:
             # warm first: the frozen step is its own jit program whose
             # compile (~minutes) must not leak into the timing

@@ -161,9 +161,17 @@ class NeuralRadianceCache:
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
+        # tcnn's EMA optimizer DEBIASES (ema.h: ema_debias_old/new): the
+        # served weights are a proper weighted average of trained params
+        # only — without this, early inference is dragged toward the random
+        # init (at step 60 with decay 0.99 the init still carries ~55%).
         d = self.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                           state.ema_params, params)
+        t = state.step.astype(jnp.float32)
+        debias_old = 1.0 - jnp.power(d, t)
+        debias_new = 1.0 / (1.0 - jnp.power(d, t + 1.0))
+        ema = jax.tree.map(
+            lambda e, p: (e * d * debias_old + p * (1.0 - d)) * debias_new,
+            state.ema_params, params)
         return NrcState(params=params, ema_params=ema, opt_state=opt_state,
                         loss=loss, step=state.step + 1)
 

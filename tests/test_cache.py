@@ -105,19 +105,27 @@ def test_cache_learns_position_dependent_function():
     assert err < 0.08, err
 
 
-def test_ema_params_lag_behind():
+def test_ema_params_debiased_like_tcnn():
+    """tcnn's EMA optimizer debiases (ema.h): step 1 serves the trained
+    params exactly (the random init contributes nothing), and step 2
+    serves the debiased weighted average of the two trained snapshots."""
     cfg = _small_cfg(ema_decay=0.99)
     cache = NeuralRadianceCache(cfg)
     state = cache.init_state(jax.random.PRNGKey(0))
     x5 = jax.random.uniform(jax.random.PRNGKey(1), (64, 5))
     tgt = jnp.ones((64, 3))
     s1 = cache.train_step(state, x5, tgt)
-    # after one step: ema = 0.99*old + 0.01*new != new
-    w_new = np.asarray(s1.params["mlp"]["layers"][0])
-    w_ema = np.asarray(s1.ema_params["mlp"]["layers"][0])
-    w_old = np.asarray(state.params["mlp"]["layers"][0])
-    assert not np.allclose(w_new, w_ema)
-    assert np.allclose(w_ema, 0.99 * w_old + 0.01 * w_new, atol=1e-6)
+    w1 = np.asarray(s1.params["mlp"]["layers"][0])
+    e1 = np.asarray(s1.ema_params["mlp"]["layers"][0])
+    assert np.allclose(e1, w1, atol=1e-6)
+
+    s2 = cache.train_step(s1, x5, tgt)
+    w2 = np.asarray(s2.params["mlp"]["layers"][0])
+    e2 = np.asarray(s2.ema_params["mlp"]["layers"][0])
+    d = 0.99
+    expect = (e1 * d * (1 - d) + w2 * (1 - d)) / (1 - d * d)
+    assert not np.allclose(e2, w2)
+    assert np.allclose(e2, expect, atol=1e-6)
 
 
 def test_train_frame_runs_batch_count_steps():

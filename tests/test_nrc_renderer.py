@@ -142,11 +142,20 @@ def test_compact_overflow_falls_back_dense():
 
 
 def test_nrc_quality_converges_below_mse_threshold():
-    """NRC quality gate (VERDICT r1 item 6): after N online-training
-    frames at a fixed seed, one fresh ref-camera frame must reach an MSE
-    vs an MC-accumulated mini-golden below threshold — the NRC mirror of
-    the MC golden test (reference machinery: Reference.cpp:566-671 +
-    CompareNrc:72-112)."""
+    """NRC quality gate (VERDICT r1 item 6, redesigned in r3): after N
+    online-training frames at a fixed seed, a frozen-cache ref-camera
+    accumulation must reach an MSE vs an MC-accumulated mini-golden below
+    threshold AND below the untrained cache's MSE (reference machinery:
+    Reference.cpp:566-671 + CompareNrc:72-112).
+
+    Design notes (experiments/gate_fixedkey_probe.py): the compare renders
+    use a FIXED PRNG key so the trained and untrained runs see identical
+    path-sampling noise — the r2 gate inherited ``state.key`` (which
+    differs by frame count), and its 12-frame compares were so noisy that
+    the cache's ~12% MSE contribution drowned (trained/untrained ratios
+    swung 0.49..1.50 purely from compare noise).  With the fixed key the
+    trajectory is deterministic and monotone: ratio 0.94 @ 15 frames,
+    0.89 @ 45, 0.88 @ 120."""
     from nrc_hpm_tpu.camera import Camera
     from nrc_hpm_tpu.reference import GoldenReference
     from nrc_hpm_tpu.renderer import McRenderer, NrcRenderer
@@ -163,26 +172,30 @@ def test_nrc_quality_converges_below_mse_threshold():
 
     from nrc_hpm_tpu.renderer import reset_accumulation
 
-    def accumulated_compare(renderer, st, frames=12):
-        # frozen-cache accumulation under the ref camera: suppresses the
-        # 1-spp path noise so the gate scores the CACHE, not the sampler
+    def accumulated_compare(renderer, st, frames=24):
+        # frozen-cache accumulation under the ref camera with a FIXED
+        # compare key: suppresses the 1-spp path noise AND makes the
+        # sampling noise identical across compared states, so the gate
+        # scores the CACHE, not the sampler
         tmp = reset_accumulation(jax.tree.map(lambda a: a + 0, st))
+        tmp = tmp.replace(key=jax.random.PRNGKey(1234))
         for _ in range(frames):
             tmp = renderer.step(tmp, golden.camera, train=False)
         return golden.compare(np.asarray(tmp.image))
 
     r = NrcRenderer(cfg)
     state = r.init_state(0)
-    for _ in range(30):
+    for _ in range(45):
         state = r.step(state, cam, train=True)
     res = accumulated_compare(r, state)
     res1 = golden.compare_nrc(r, state)  # the reference's single-frame form
 
-    # an UNTRAINED cache for scale: training must beat it clearly
+    # an UNTRAINED cache under the IDENTICAL compare keys: training must
+    # strictly reduce the error of the cache term
     r2 = NrcRenderer(cfg)
     res0 = accumulated_compare(r2, r2.init_state(0))
 
     assert np.isfinite(res.mse) and np.isfinite(res1.mse)
-    assert res.mse < 0.08, f"NRC accumulated mse {res.mse}"
-    assert res.mse < 0.7 * res0.mse, (res.mse, res0.mse)
-    assert abs(res.rel_bias) < 0.5
+    assert res.mse < 0.04, f"NRC accumulated mse {res.mse}"
+    assert res.mse < 0.95 * res0.mse, (res.mse, res0.mse)
+    assert abs(res.rel_bias) < 0.1
