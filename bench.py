@@ -8,8 +8,16 @@ at the reference's canonical 1920x1080 workload
 The headline runs the TPU-TUNED operating point (AppConfig.tpu_tuned —
 identical semantics, hash-grid tables sized into the rowsweep fast-gather
 window; quality parity vs the 2^19 table is documented in BASELINE.md).
-Context metrics (stderr): frozen-cache frame, NRC inference samples/s, MC
-ground-truth frame, and the reference-default-encoding frame.
+
+The full BASELINE metric set is recorded by default (VERDICT r2 item 5) —
+frozen-cache frame, NRC inference samples/s, MC ground-truth frame, the
+reference-default-encoding (2^19) frame, and the 8-stage breakdown — to
+stderr AND to output/bench_full.json.  NRC_BENCH_FULL=0 keeps only the
+headline; NRC_BENCH_PROFILE=0 skips the stage breakdown.
+
+Sub-100ms measurements use the chained-scan protocol (profiler._chain_time):
+the axon tunnel acks block_until_ready early, so naive wall timing of small
+programs measures dispatch, not execution.
 
 vs_baseline is relative to the round-1 measurement of this same metric
 (BENCH_r01.json: 250455.7 rays/s/chip).
@@ -27,6 +35,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _flag(name, default="1"):
+    return os.environ.get(name, default).lower() not in ("", "0", "false")
+
+
 def wall(fn, n, *args):
     import jax
     out = None
@@ -41,12 +53,18 @@ def wall(fn, n, *args):
 def main():
     import jax
 
+    from nrc_hpm_tpu.utils.compile_cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+
     from nrc_hpm_tpu.camera import Camera
     from nrc_hpm_tpu.config import AppConfig
     from nrc_hpm_tpu.renderer import McRenderer, NrcRenderer
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
+    full = _flag("NRC_BENCH_FULL")
+    results = {"device": str(dev)}
 
     cfg = AppConfig.tpu_tuned()  # scene 4, 1080p, rowsweep-sized hash grid
     cam = Camera.reference_camera(aspect=cfg.render_width / cfg.render_height)
@@ -58,88 +76,107 @@ def main():
     t0 = time.time()
     state = r.step(state, cam, train=True)
     jax.block_until_ready(state.image)
-    log(f"nrc compile+first frame: {time.time()-t0:.1f}s")
+    results["compile_plus_first_frame_s"] = round(time.time() - t0, 1)
+    log(f"nrc compile+first frame: {results['compile_plus_first_frame_s']}s")
 
     frames = 8
     dt, state = wall(lambda s: r.step(s, cam, train=True), frames, state)
     nrc_rays_s = n_rays / dt
+    results["nrc_online_ms_per_frame"] = round(dt * 1000, 1)
+    results["nrc_online_rays_per_s"] = round(nrc_rays_s, 1)
+    results["nrc_loss"] = round(float(state.nrc.loss), 4)
     log(f"nrc online: {dt*1000:.1f} ms/frame, {nrc_rays_s:.3e} rays/s, "
         f"loss {float(state.nrc.loss):.4f}")
-
-    # Full mode is ON unless explicitly disabled (NRC_BENCH_FULL=0): the
-    # BASELINE metric set (MC, frozen-cache, 2^19, inference) must be
-    # recorded every round (VERDICT r2 item 5).
-    full = os.environ.get("NRC_BENCH_FULL", "1").lower() \
-        not in ("", "0", "false")
 
     # ---- context: frozen-cache frame (BASELINE config 3) ----
     if not full:
         log("frozen bench skipped: set NRC_BENCH_FULL=1")
     else:
         try:
-            # warm first: the frozen step is its own jit program whose
-            # compile (~minutes) must not leak into the timing
             state = r.step(state, cam, train=False)
             jax.block_until_ready(state.image)
             fdt, state = wall(lambda s: r.step(s, cam, train=False), 4,
                               state)
+            results["nrc_frozen_ms_per_frame"] = round(fdt * 1000, 1)
+            results["nrc_frozen_rays_per_s"] = round(n_rays / fdt, 1)
             log(f"nrc frozen: {fdt*1000:.1f} ms/frame, "
                 f"{n_rays/fdt:.3e} rays/s")
         except Exception as e:
             log(f"frozen bench skipped: {e}")
 
-    # ---- context: NRC inference samples/s (compacted scatter set) ----
+    # ---- context: NRC inference samples/s (chain-timed, production) ----
     try:
-        import jax.numpy as jnp
+        from nrc_hpm_tpu.profiler import _chain_time
         n_inf = 622592  # ~30% of 1080p, the infer-compaction capacity
         x5 = jax.random.uniform(jax.random.PRNGKey(1), (n_inf, 5))
-        packed = r.cache.encoding.pack_params(
-            state.nrc.ema_params["encoding"])
-        infer = jax.jit(lambda p, x: r.cache.apply(
-            state.nrc.ema_params, x, packed=p, fused=True))
-        jax.block_until_ready(infer(packed, x5))
-        t0 = time.time()
-        out = None
-        for _ in range(4):
-            x5 = x5 + 1e-7  # defeat caching without re-tracing
-            out = infer(packed, x5)
-        jax.block_until_ready(out)
-        idt = (time.time() - t0) / 4
-        log(f"nrc infer: {idt*1000:.1f} ms / {n_inf} samples = "
-            f"{n_inf/idt:.3e} samples/s")
+        idt = _chain_time(lambda st, x: r.cache.infer(st, x),
+                          (state.nrc, x5), ns=(1, 5))
+        results["nrc_infer_ms"] = round(idt * 1000, 2)
+        results["nrc_infer_samples_per_s"] = round(n_inf / idt, 1)
+        log(f"nrc infer: {idt*1000:.2f} ms / {n_inf} samples = "
+            f"{n_inf/idt:.3e} samples/s (chain-timed)")
     except Exception as e:
         log(f"infer bench skipped: {e}")
 
     # ---- context: MC renderer rays/s ----
-    try:
-        if not full:
-            raise RuntimeError("set NRC_BENCH_FULL=1 for the MC bench")
-        mc = McRenderer(cfg)
-        mst = mc.init_state(0)
-        mst = mc.step(mst, cam)
-        jax.block_until_ready(mst.image)
-        mdt, mst = wall(lambda s: mc.step(s, cam), 3, mst)
-        log(f"mc32: {mdt*1000:.1f} ms/frame, {n_rays/mdt:.3e} rays/s")
-    except Exception as e:
-        log(f"mc bench skipped: {e}")
+    if not full:
+        log("mc bench skipped: set NRC_BENCH_FULL=1")
+    else:
+        try:
+            mc = McRenderer(cfg)
+            mst = mc.init_state(0)
+            mst = mc.step(mst, cam)
+            jax.block_until_ready(mst.image)
+            mdt, mst = wall(lambda s: mc.step(s, cam), 3, mst)
+            results["mc32_ms_per_frame"] = round(mdt * 1000, 1)
+            results["mc32_rays_per_s"] = round(n_rays / mdt, 1)
+            log(f"mc32: {mdt*1000:.1f} ms/frame, {n_rays/mdt:.3e} rays/s")
+        except Exception as e:
+            log(f"mc bench skipped: {e}")
 
     # ---- context: reference-default encoding (2^19 tables) ----
+    if not full:
+        log("2^19 bench skipped: set NRC_BENCH_FULL=1")
+    else:
+        try:
+            r19 = NrcRenderer(AppConfig())
+            s19 = r19.init_state(0)
+            s19 = r19.step(s19, cam, train=True)
+            jax.block_until_ready(s19.image)
+            ddt, s19 = wall(lambda s: r19.step(s, cam, train=True), 3, s19)
+            results["nrc_online_2e19_ms_per_frame"] = round(ddt * 1000, 1)
+            results["nrc_online_2e19_rays_per_s"] = round(n_rays / ddt, 1)
+            log(f"nrc online (2^19 tables): {ddt*1000:.1f} ms/frame, "
+                f"{n_rays/ddt:.3e} rays/s")
+        except Exception as e:
+            log(f"2^19 bench skipped: {e}")
+
+    # ---- context: 8-stage breakdown (the reference's timestamp pool) ----
+    if not (full and _flag("NRC_BENCH_PROFILE")):
+        log("stage profile skipped: set NRC_BENCH_FULL=1 NRC_BENCH_PROFILE=1")
+    else:
+        try:
+            from nrc_hpm_tpu.profiler import (format_stage_report,
+                                              profile_nrc_frame)
+            stages = profile_nrc_frame(
+                r, state, cam, total_ms=results["nrc_online_ms_per_frame"])
+            results["stages_ms"] = {k: round(v, 2) for k, v in
+                                    stages.items()}
+            log(format_stage_report(stages))
+        except Exception as e:
+            log(f"stage profile skipped: {e}")
+
     try:
-        if not full:
-            raise RuntimeError("set NRC_BENCH_FULL=1 for the 2^19 bench")
-        r19 = NrcRenderer(AppConfig())
-        s19 = r19.init_state(0)
-        s19 = r19.step(s19, cam, train=True)
-        jax.block_until_ready(s19.image)
-        ddt, s19 = wall(lambda s: r19.step(s, cam, train=True), 3, s19)
-        log(f"nrc online (2^19 tables): {ddt*1000:.1f} ms/frame, "
-            f"{n_rays/ddt:.3e} rays/s")
+        os.makedirs("output", exist_ok=True)
+        with open("output/bench_full.json", "w") as f:
+            json.dump(results, f, indent=1)
+        log("full metrics written to output/bench_full.json")
     except Exception as e:
-        log(f"2^19 bench skipped: {e}")
+        log(f"could not write bench_full.json: {e}")
 
     print(json.dumps({
         "metric": "nrc_online_rays_per_s_1080p",
-        "value": round(nrc_rays_s, 1),
+        "value": results["nrc_online_rays_per_s"],
         "unit": "rays/s/chip",
         "vs_baseline": round(nrc_rays_s / ROUND1_RAYS_PER_S, 3),
     }))

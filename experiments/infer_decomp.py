@@ -12,6 +12,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from nrc_hpm_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from nrc_hpm_tpu.config import AppConfig
 from nrc_hpm_tpu.models.nrc.cache import NeuralRadianceCache
 from nrc_hpm_tpu.models.nrc import encoding as enc
@@ -67,7 +71,10 @@ def timeit(name, fn, *args, n=8):
 
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 622592
-    cfg = AppConfig.tpu_tuned()
+    log2 = int(sys.argv[2]) if len(sys.argv) > 2 else 14
+    from nrc_hpm_tpu.config import EncodingConfig
+    cfg = AppConfig.tpu_tuned(
+        encoding=EncodingConfig(log2_hashmap_size=log2))
     cache = NeuralRadianceCache(cfg)
     state = cache.init_state(jax.random.PRNGKey(0))
     spec = cache.encoding.grid_spec
@@ -108,8 +115,24 @@ def main():
     # 6. end-to-end apply (jitted once)
     ap = jax.jit(lambda st, x, pk: cache.apply(st.ema_params, x, packed=pk,
                                                fused=True))
-    dt = timeit("end-to-end infer", ap, state, x5, packed)
-    print(f"samples/s: {N/dt:.3e}", flush=True)
+    dt = timeit("end-to-end infer (split)", ap, state, x5, packed)
+    print(f"split samples/s: {N/dt:.3e}", flush=True)
+
+    # 7. fully-fused encode+MLP kernel (also report its compile time)
+    from nrc_hpm_tpu.ops.fused_encode_mlp import fused_encode_mlp_infer
+    fu = jax.jit(lambda pt, prm, x: fused_encode_mlp_infer(
+        pt, prm["layers"], x, spec, n_bins=4))
+    t0 = time.time()
+    jax.block_until_ready(fu(ptab, state.ema_params["mlp"], x5))
+    print(f"fused kernel compile+run: {time.time()-t0:.1f}s", flush=True)
+    dt = timeit("fused encode+MLP kernel", fu, ptab,
+                state.ema_params["mlp"], x5)
+    print(f"fused samples/s: {N/dt:.3e}", flush=True)
+
+    # 8. cache.infer (the production entry — picks the fused path on TPU)
+    ci2 = jax.jit(cache.infer)
+    dt = timeit("cache.infer production", ci2, state, x5)
+    print(f"production samples/s: {N/dt:.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -63,22 +63,26 @@ def _lanegather_kernel(tbl_ref, idx_ref, out_ref):
     out_ref[...] = jnp.take_along_axis(rowv, c, axis=1)
 
 
-def run(name, kernel, tbl, idx):
+def run(name, kernel, tbl, idx, m_blk=M_BLK):
     n_m = idx.shape[0]
     f = jax.jit(lambda t, i: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
-        grid=(n_m // M_BLK,),
+        grid=(n_m // m_blk,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M_BLK, 128), lambda g: (g, 0),
+            pl.BlockSpec((m_blk, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M_BLK, 128), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((m_blk, 128), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
     )(t, i))
-    dt = chain_time_all(f, (tbl, idx), ns=(1, 5))
+    try:
+        dt = chain_time_all(f, (tbl, idx), ns=(1, 5))
+    except Exception as e:
+        print(f"{name:14s} FAILED: {str(e)[:160]}", flush=True)
+        return
     lookups = idx.size
     print(f"{name:14s} {dt*1e3:8.2f} ms  {lookups/dt/1e9:7.2f} G lookups/s",
           flush=True)
@@ -93,7 +97,8 @@ def main():
                              dtype=jnp.int32)
     print(f"device={jax.devices()[0]} lookups={n_lookups}", flush=True)
     run("sweep", _sweep_kernel, tbl, idx)
-    run("onehot-mxu", _onehot_kernel, tbl, idx)
+    run("onehot-mxu", _onehot_kernel, tbl, idx, m_blk=32)
+    run("onehot-mxu64", _onehot_kernel, tbl, idx, m_blk=64)
     run("lane-gather", _lanegather_kernel, tbl, idx)
 
 

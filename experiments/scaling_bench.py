@@ -1,0 +1,82 @@
+"""Multi-device scaling measurement on the virtual CPU mesh (VERDICT r2
+item 6 / BASELINE config 5 to the extent this single-chip environment
+allows).
+
+Fixed GLOBAL work (one 256x256 online-NRC frame, 512 train pixels), mesh
+sizes n = 1, 2, 4, 8 over 8 virtual CPU devices.  Measures ms/step and
+derives scaling efficiency t(1) / (n * t(n)).
+
+Caveat recorded with the artifact: virtual CPU devices share one host's
+cores, so absolute times bound the SHARDING OVERHEAD (collective + re-trace
+cost trends), not real multi-chip speedup; correctness-equivalence of the
+sharded step is covered separately by tests/test_sharding.py.
+
+Writes output/scaling.json.
+"""
+import json
+import os
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from nrc_hpm_tpu.camera import Camera
+from nrc_hpm_tpu.config import AppConfig, EncodingConfig, SceneConfig
+from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer, make_mesh
+
+
+def _cfg():
+    return AppConfig(
+        scene=SceneConfig.preset(4),
+        render_width=256, render_height=256,
+        nn_width=32, nn_depth=2,
+        encoding=EncodingConfig(n_levels=4, log2_hashmap_size=12),
+        log2_infer_batch_size=14, log2_train_batch_size=8,
+        train_batch_count=2,          # 512 train pixels
+        train_ray_length=8, mc_path_length=8)
+
+
+def main():
+    assert len(jax.devices()) >= 8, jax.devices()
+    cfg = _cfg()
+    cam = Camera.reference_camera(aspect=1.0)
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = ShardedNrcRenderer(cfg, mesh=make_mesh(n))
+        state = r.init_state(0)
+        for _ in range(2):                      # compile + warm
+            state = r.step(state, cam, train=True)
+        jax.block_until_ready(state.image)
+        t0 = time.time()
+        steps = 5
+        for _ in range(steps):
+            state = r.step(state, cam, train=True)
+        jax.block_until_ready(state.image)
+        ms = (time.time() - t0) / steps * 1e3
+        rows.append(dict(n_devices=n, ms_per_step=round(ms, 1),
+                         loss=round(float(state.nrc.loss), 4)))
+        print(f"n={n}: {ms:.1f} ms/step", flush=True)
+    t1 = rows[0]["ms_per_step"]
+    for row in rows:
+        row["efficiency"] = round(
+            t1 / (row["n_devices"] * row["ms_per_step"]), 3)
+    out = dict(
+        workload="256x256 online-NRC frame, 512 train pixels, fixed global",
+        platform="virtual CPU mesh (xla_force_host_platform_device_count)",
+        caveat=("virtual devices share one host's cores: measures sharding "
+                "overhead trends, not hardware scaling"),
+        rows=rows)
+    os.makedirs("output", exist_ok=True)
+    with open("output/scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote output/scaling.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tpu-tuned", action="store_true",
                    help="use the TPU-tuned operating point "
                         "(AppConfig.tpu_tuned: rowsweep-sized hash grid)")
+    p.add_argument("--log2-hashmap", type=int, default=0,
+                   help="override the hash-grid table size (quality "
+                        "studies: reference default 19, TPU-tuned 14)")
+    p.add_argument("--n-levels", type=int, default=0,
+                   help="override the hash-grid level count (default 16)")
     return p
 
 
@@ -75,6 +80,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
+
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     import numpy as np
 
@@ -93,6 +101,14 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, encoding=dataclasses.replace(cfg.encoding,
                                               log2_hashmap_size=14))
+    if args.log2_hashmap:
+        cfg = dataclasses.replace(
+            cfg, encoding=dataclasses.replace(
+                cfg.encoding, log2_hashmap_size=args.log2_hashmap))
+    if args.n_levels:
+        cfg = dataclasses.replace(
+            cfg, encoding=dataclasses.replace(cfg.encoding,
+                                              n_levels=args.n_levels))
     if args.width or args.height:
         cfg = dataclasses.replace(
             cfg, render_width=args.width or cfg.render_width,

@@ -172,9 +172,14 @@ class AppConfig:
     # reference's NrcInferFilter (prep_infer_rays.comp:44-45,
     # NeuralRadianceCache.cu:134-145) rebuilt as a lax.cond per batch.
     infer_filter: bool = True
-    # Compaction: trace only box-hitting rays / encode only scattered
-    # pixels, with a dense lax.cond fallback when more lanes are live.
-    compact: bool = True
+    # Compaction: trace only box-hitting rays via a gather + dense lax.cond
+    # fallback BEFORE the primary pass.  Default OFF since round 3: the
+    # event-stage compaction inside the tracking loops resolves miss lanes
+    # (zero residual depth) before their first fine gather, so the outer
+    # gather is nearly redundant at runtime — but its dense fallback
+    # re-traces the whole primary stack a second time, roughly doubling
+    # compile (experiments/compile_bisect.py: 347 s -> 153 s cold).
+    compact: bool = False
     infer_compact: bool = True
     # Static capacity of the scattered-pixel inference compaction as a
     # fraction of the screen (measured scatter fraction on the WDAS cloud

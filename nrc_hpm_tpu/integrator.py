@@ -138,28 +138,50 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
                      lambda trans, ph=phase, pl=pl:
                      pl.color * (pl.strength * trans * ph)[..., None]))
 
-    if p.flags.env_on:
-        if env_dir is not None:
-            # 3-arg TraceScene (path_trace.glsl:139-148): env light from the
-            # stored per-vertex direction, 16-step fixed transmittance.
-            from .transmittance import fixed_step_transmittance
-            _, exit_pt, _ = find_entry_exit(vol, pos, env_dir)
-            trans = fixed_step_transmittance(vol, pos, exit_pt, 16)
-            phase = hg_phase(jnp.sum(-direction * env_dir, axis=-1), vol.g)
-            env = sample_env_map(lights.env, env_dir)
-            total = total + env * (trans * phase)[..., None]
-        else:
-            # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one
-            # random direction from the reference's uniform-in-polar-angle
-            # sampler, phase-weighted, ratio-tracked to the box exit.
-            rand_dir, state = new_ray_dir(state, direction, vol.g,
-                                          phase_sampling=False, active=active)
-            phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
-            _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
-            env = sample_env_map(lights.env, rand_dir)
-            segs.append((pos, exit_pt,
-                         lambda trans, ph=phase, env=env:
-                         env * (ph * trans)[..., None]))
+    env_sample = p.flags.env_on and env_dir is None
+    batched = p.mode in ("pw", "fast") and pos.ndim == 2 \
+        and (len(segs) + (1 if env_sample else 0)) > 1
+
+    if p.flags.env_on and env_dir is not None:
+        # 3-arg TraceScene (path_trace.glsl:139-148): env light from the
+        # stored per-vertex direction, 16-step fixed transmittance.
+        from .transmittance import fixed_step_transmittance
+        _, exit_pt, _ = find_entry_exit(vol, pos, env_dir)
+        trans = fixed_step_transmittance(vol, pos, exit_pt, 16)
+        phase = hg_phase(jnp.sum(-direction * env_dir, axis=-1), vol.g)
+        env = sample_env_map(lights.env, env_dir)
+        total = total + env * (trans * phase)[..., None]
+    elif env_sample and not batched:
+        # Sequential fallback keeps the reference's per-thread RNG ORDER:
+        # dir/point shadow tracks consume their uniforms FIRST, then the
+        # env direction is drawn (path_trace.glsl:133-148 calls
+        # SampleHdrEnvMap last).  The batched path below draws it up front
+        # — a documented divergence of the batched mode only.
+        for start, end, weight in segs:
+            trans, state = p.ratio_track(state, vol, start, end,
+                                         p.max_track_steps, active=active)
+            total = total + weight(trans)
+        segs = []
+        rand_dir, state = new_ray_dir(state, direction, vol.g,
+                                      phase_sampling=False, active=active)
+        phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
+        _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
+        env = sample_env_map(lights.env, rand_dir)
+        segs.append((pos, exit_pt,
+                     lambda trans, ph=phase, env=env:
+                     env * (ph * trans)[..., None]))
+    elif env_sample:
+        # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one
+        # random direction from the reference's uniform-in-polar-angle
+        # sampler, phase-weighted, ratio-tracked to the box exit.
+        rand_dir, state = new_ray_dir(state, direction, vol.g,
+                                      phase_sampling=False, active=active)
+        phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
+        _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
+        env = sample_env_map(lights.env, rand_dir)
+        segs.append((pos, exit_pt,
+                     lambda trans, ph=phase, env=env:
+                     env * (ph * trans)[..., None]))
 
     if len(segs) > 1 and p.mode in ("pw", "fast") and pos.ndim == 2:
         # One batched tracking call over all shadow segments.  The k-th

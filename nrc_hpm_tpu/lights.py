@@ -46,6 +46,11 @@ class DirLight:
     color: jax.Array     # (3,)
     direction: jax.Array  # (3,) — the uniform's ``dir`` field
     strength: jax.Array  # ()
+    # the generating angles, stored like the reference's members
+    # (DirLight.hpp:10-11) so dynamic updates never reconstruct them from
+    # the direction vector
+    zenith: jax.Array    # ()
+    azimuth: jax.Array   # ()
 
     @staticmethod
     def create(zenith=-1.57, azimuth=0.0, color=(1.0, 1.0, 1.0),
@@ -54,7 +59,9 @@ class DirLight:
         return DirLight(
             color=jnp.asarray(color, jnp.float32),
             direction=jnp.asarray(dir_from_angles(zenith, azimuth)),
-            strength=jnp.float32(strength))
+            strength=jnp.float32(strength),
+            zenith=jnp.float32(zenith),
+            azimuth=jnp.float32(azimuth))
 
 
 @flax.struct.dataclass
@@ -196,19 +203,20 @@ def lights_from_scene(scene) -> Lights:
 
 
 def update_scene(lights: Lights, scene, delta_time: float) -> Lights:
-    """HpmScene::Update (src/HpmScene.cpp:56-76): dynamic scenes animate the
-    directional light azimuth at 0.5 rad/s (mod 2*pi).  All shipped presets
-    are static; this is the capability hook for dynamic ones."""
-    if not scene.dynamic:
+    """HpmScene::Update (src/HpmScene.cpp:56-76): for DYNAMIC scenes the
+    reference animates the dir-light azimuth at 0.5 rad/s, wrapped with
+    ``fmod(.., 2 * 3.141)`` (its literal, kept for parity) — and ONLY for
+    scene id 3; the scene-4 case is an explicit no-op (HpmScene.cpp:68-70).
+    Color, strength and zenith are preserved; the direction is recomputed
+    from the stored angles exactly like DirLight::SetAzimuth."""
+    if not scene.dynamic or scene.id != 3:
         return lights
-    import numpy as np
-
-    d = lights.dir_light.direction
-    az = float(jnp.arctan2(d[2], d[0])) if hasattr(d, "shape") else 0.0
-    # reconstruct zenith from the stored direction, advance azimuth
-    zen = float(jnp.arcsin(jnp.clip(-d[1], -1.0, 1.0))) - np.pi / 2
-    new_az = (az + delta_time * 0.5) % (2.0 * np.pi)
-    new_dir = DirLight.create(zenith=zen, azimuth=new_az,
-                              strength=float(lights.dir_light.strength))
-    return Lights(dir_light=new_dir, point_light=lights.point_light,
+    dl = lights.dir_light
+    new_az = float((float(dl.azimuth) + delta_time * 0.5)
+                   % (2.0 * 3.141))
+    new_dl = DirLight.create(
+        zenith=float(dl.zenith), azimuth=new_az,
+        color=tuple(np.asarray(dl.color).tolist()),
+        strength=float(dl.strength))
+    return Lights(dir_light=new_dl, point_light=lights.point_light,
                   env=lights.env)

@@ -137,9 +137,24 @@ class NeuralRadianceCache:
         """Batched inference with the EMA parameters (tcnn EMA optimizer
         serves smoothed weights for inference).  The hash table is packed
         to bf16 pairs on the fly — one gathered word per corner — matching
-        tcnn's half-precision inference parameters; the MLP runs in the
-        fused Pallas kernel on TPU (ops/fused_mlp.py)."""
+        tcnn's half-precision inference parameters.
+
+        On TPU with the default composite encoding, the WHOLE path —
+        corner math, hash gather, OneBlob, MLP — runs as one Pallas
+        kernel (ops/fused_encode_mlp.py, the tcnn fully-fused analog);
+        other configs use the split encode + fused-MLP path."""
         packed = self.encoding.pack_params(state.ema_params["encoding"])
+        cfg = self.encoding.cfg
+        if (packed and cfg.pos_id == 0
+                and self.compute_dtype == jnp.bfloat16):
+            from ...ops.fused_encode_mlp import (fused_encode_mlp_infer,
+                                                 use_fused_encode)
+            if use_fused_encode(self.encoding.grid_spec, cfg, x5.shape[0]):
+                return fused_encode_mlp_infer(
+                    packed["hash_table_packed"],
+                    state.ema_params["mlp"]["layers"], x5,
+                    self.encoding.grid_spec, n_bins=cfg.oneblob_n_bins,
+                    out_dim=self.N_OUTPUT)
         return self.apply(state.ema_params, x5, packed=packed or None,
                           fused=True)
 

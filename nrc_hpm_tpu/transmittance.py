@@ -292,8 +292,11 @@ COMPACT_MIN_LANES = 32768
 # any-unresolved early exit keep dense stages adaptive.  Fractions sized
 # from the WDAS residual-depth percentiles (experiments/event_stats.py:
 # shadow-ray rtot p50=12, p90=25, p99=34) tightened by Russian roulette.
-RATIO_PLAN = ((None, 8, 16), (0.22, 8, 16), (0.08, 8, None))
-DELTA_PLAN = ((0.55, 8, 8), (0.25, 8, 16), (0.10, 8, None))
+# Two stages, not three: every additional cond stage traces+compiles two
+# more full tracking bodies per call site — the third stage cost ~60 s of
+# 1080p compile for a ~2% runtime gain (experiments/compile_bisect.py).
+RATIO_PLAN = ((None, 8, 16), (0.08, 8, None))
+DELTA_PLAN = ((0.55, 8, 16), (0.10, 8, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,

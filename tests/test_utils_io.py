@@ -91,7 +91,8 @@ def test_dynamic_scene_update():
     import dataclasses
     from nrc_hpm_tpu.config import SceneConfig
     from nrc_hpm_tpu.lights import lights_from_scene, update_scene
-    scene = dataclasses.replace(SceneConfig.preset(0), dynamic=True)
+    # only scene 3 animates in the reference (HpmScene.cpp:64-71)
+    scene = dataclasses.replace(SceneConfig.preset(3), dynamic=True)
     lights = lights_from_scene(scene)
     d0 = np.asarray(lights.dir_light.direction)
     l2 = update_scene(lights, scene, 0.5)
@@ -99,7 +100,7 @@ def test_dynamic_scene_update():
     assert not np.allclose(d0, d1)
     assert abs(np.linalg.norm(d1) - 1.0) < 1e-5
     # static scenes unchanged
-    static = SceneConfig.preset(0)
+    static = SceneConfig.preset(3)
     l3 = update_scene(lights, static, 0.5)
     assert np.allclose(np.asarray(l3.dir_light.direction), d0)
 
