@@ -25,11 +25,23 @@ XLA's cross-stage fusion, so sum(stages) >= total is possible).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/jax-trace"):
+    """Wrap a region in a jax.profiler trace (view with xprof/tensorboard)
+    — the kernel-level complement to the stage taxonomy below."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def _chain_time(fn, args, ns=(1, 4)) -> float:
