@@ -77,6 +77,10 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
         X, Y, Z = params[6], params[7], params[8]
         density_factor = params[9]
 
+        # The profile/inversion loops below are jax.lax loops, NOT Python
+        # unrolls: the unrolled form traced ~10k primitives per kernel
+        # instance (~8.5 s each, x18 call-site shapes = 150 s of the 1080p
+        # step's trace time) for identical generated code.
         tbl = tbl_ref[...]
         ox, oy, oz = sx[...], sy[...], sz[...]
         vx, vy, vz = dx[...], dy[...], dz[...]
@@ -98,66 +102,76 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             lin = (ix * (my * mz) + iy * mz + iz).astype(jnp.int32)
             r = lin // LANES
             c = lin % LANES
-            acc = jnp.zeros(lin.shape, jnp.float32)
-            for row in range(n_rows):
-                rowv = jnp.broadcast_to(tbl[row][None, :], lin.shape)
+            shape = lin.shape
+
+            def srow(row, acc):
+                rowv = jnp.broadcast_to(
+                    jax.lax.dynamic_slice_in_dim(tbl, row, 1, 0), shape)
                 picked = jnp.take_along_axis(rowv, c, axis=1)
-                acc = jnp.where(r == row, picked, acc)
+                return jnp.where(r == row, picked, acc)
+
+            acc = jax.lax.fori_loop(0, n_rows, srow,
+                                    jnp.zeros(shape, jnp.float32))
             sig, ctl = _unpack_profile(acc)
             sig = jnp.where(in_ext, sig, 0.0) * density_factor
             ctl = jnp.where(in_strict, ctl, 0.0) * density_factor
             return sig, ctl
 
         # ---- profile: C+1 points -> C intervals + cumsums ----
-        t_i = jnp.zeros_like(h)
-        p_sig, p_ctl = macro_lookup(ox, oy, oz)
-        ccum = jnp.zeros_like(h)
-        rcum = jnp.zeros_like(h)
-        for i in range(C):
-            t_i = t_i + h
+        p_sig0, p_ctl0 = macro_lookup(ox, oy, oz)
+
+        def prof_body(i, carry):
+            p_sig, p_ctl, ccum, rcum = carry
+            t_i = (i + 1).astype(jnp.float32) * h
             nx = ox + t_i * vx
             ny = oy + t_i * vy
             nz = oz + t_i * vz
             n_sig, n_ctl = macro_lookup(nx, ny, nz)
             sig = jnp.maximum(p_sig, n_sig)
             ctl = jnp.minimum(jnp.minimum(p_ctl, n_ctl), sig)
-            sig_scr[i] = sig
-            ctl_scr[i] = ctl
+            sig_scr[pl.ds(i, 1)] = sig[None]
+            ctl_scr[pl.ds(i, 1)] = ctl[None]
             ccum = ccum + ctl * h
             rcum = rcum + (sig - ctl) * h
-            rcum_scr[i] = rcum
-            p_sig, p_ctl = n_sig, n_ctl
+            rcum_scr[pl.ds(i, 1)] = rcum[None]
+            return n_sig, n_ctl, ccum, rcum
+
+        zero = jnp.zeros_like(h)
+        _, _, ccum, rcum = jax.lax.fori_loop(
+            0, C, prof_body, (p_sig0, p_ctl0, zero, zero))
         rtot_out[...] = rcum
         ctot_out[...] = ccum
 
         # ---- S events: draw, invert, emit ----
         seed = seed_ref[...]
         e_base = ebase_smem[0]
-        E = elast_ref[...]
-        for s in range(S):
-            k = (jnp.uint32(e_base) + jnp.uint32(s)
+
+        def ev_body(s, E):
+            k = (jnp.uint32(e_base) + s.astype(jnp.uint32)
                  + jnp.zeros(seed.shape, jnp.uint32))
             u = _uniform(seed, k, salt)
             E = E - jnp.log1p(-u)
+
             # telescoping inversion over the C intervals
-            kacc = jnp.zeros_like(E)
-            e_left = jnp.zeros_like(E)
-            c_at = ctl_scr[0]
-            sig_at = sig_scr[0]
-            r_prev = jnp.zeros_like(E)
-            for ci in range(C - 1):
-                rc = rcum_scr[ci]
-                ge = E >= rc
-                gef = ge.astype(jnp.float32)
+            def tele(ci, carry):
+                kacc, e_left, c_at, sig_at, r_prev = carry
+                rc = rcum_scr[pl.ds(ci, 1)][0]
+                gef = (E >= rc).astype(jnp.float32)
                 kacc = kacc + gef
-                e_left = e_left + gef * (rc - r_prev) \
-                    if ci > 0 else e_left + gef * rc
-                c_at = c_at + gef * (ctl_scr[ci + 1] - ctl_scr[ci])
-                sig_at = sig_at + gef * (sig_scr[ci + 1] - sig_scr[ci])
-                r_prev = rc
+                e_left = e_left + gef * (rc - r_prev)
+                c_at = c_at + gef * (ctl_scr[pl.ds(ci + 1, 1)][0]
+                                     - ctl_scr[pl.ds(ci, 1)][0])
+                sig_at = sig_at + gef * (sig_scr[pl.ds(ci + 1, 1)][0]
+                                         - sig_scr[pl.ds(ci, 1)][0])
+                return kacc, e_left, c_at, sig_at, rc
+
+            kacc, e_left, c_at, sig_at, _ = jax.lax.fori_loop(
+                0, C - 1, tele,
+                (jnp.zeros_like(E), jnp.zeros_like(E), ctl_scr[0],
+                 sig_scr[0], jnp.zeros_like(E)))
             beyond = E >= rcum
-            # e_left currently sums ge_c * d_rcum with d relative to the
-            # PREVIOUS rcum — i.e. e_left = rcum[kacc-1] for kacc >= 1
+            # e_left sums ge_c * d_rcum with d relative to the PREVIOUS
+            # rcum — i.e. e_left = rcum[kacc-1] for kacc >= 1
             sres = jnp.maximum(sig_at - c_at, 1e-12)
             rate_h = sres * h
             t = kacc * h + (E - e_left) * h / jnp.maximum(rate_h, 1e-20)
@@ -175,11 +189,13 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             gz = jnp.clip(jnp.floor(uz * Z), 0.0, Z - 1.0)
             lin = (gx * (Y * Z) + gy * Z + gz).astype(jnp.int32)
             lin = jnp.where(inside & ~beyond, lin, -1)
-            lin_out[s] = lin
-            t_out[s] = t
-            c_out[s] = c_at
-            sres_out[s] = sres
-        enew_out[...] = E
+            lin_out[pl.ds(s, 1)] = lin[None]
+            t_out[pl.ds(s, 1)] = t[None]
+            c_out[pl.ds(s, 1)] = c_at[None]
+            sres_out[pl.ds(s, 1)] = sres[None]
+            return E
+
+        enew_out[...] = jax.lax.fori_loop(0, S, ev_body, elast_ref[...])
 
     return kernel
 
