@@ -18,9 +18,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_MANTISSA = jnp.uint32(0x007FFFFF)
-_ONE = jnp.uint32(0x3F800000)
+# numpy scalars, NOT jnp: a module-level jnp scalar lives on the device and
+# is captured as a jaxpr CONSTANT — at lowering time MLIR embedding fetches
+# its value back through the (slow, queue-draining) device tunnel.
+_MANTISSA = np.uint32(0x007FFFFF)
+_ONE = np.uint32(0x3F800000)
 
 
 def hash_u32(x: jax.Array) -> jax.Array:
