@@ -81,7 +81,6 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
         # unrolls: the unrolled form traced ~10k primitives per kernel
         # instance (~8.5 s each, x18 call-site shapes = 150 s of the 1080p
         # step's trace time) for identical generated code.
-        tbl = tbl_ref[...]
         ox, oy, oz = sx[...], sy[...], sz[...]
         vx, vy, vz = dx[...], dy[...], dz[...]
         tmax = tmax_ref[...]
@@ -105,8 +104,9 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             shape = lin.shape
 
             def srow(row, acc):
-                rowv = jnp.broadcast_to(
-                    jax.lax.dynamic_slice_in_dim(tbl, row, 1, 0), shape)
+                # dynamic row read from the VMEM ref (Mosaic lowers ref
+                # slices; lax.dynamic_slice on a loaded array does not)
+                rowv = jnp.broadcast_to(tbl_ref[pl.ds(row, 1)], shape)
                 picked = jnp.take_along_axis(rowv, c, axis=1)
                 return jnp.where(r == row, picked, acc)
 
