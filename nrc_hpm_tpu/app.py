@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "studies: reference default 19, TPU-tuned 14)")
     p.add_argument("--n-levels", type=int, default=0,
                    help="override the hash-grid level count (default 16)")
+    p.add_argument("--camera-path", default=None,
+                   help="JSON camera-path script replayed through the "
+                        "reference's camera-controller semantics "
+                        "(camera_path.py; Input.cpp:49-97)")
     return p
 
 
@@ -84,6 +88,7 @@ def main(argv=None) -> int:
     from .utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
 
+    import jax.numpy as jnp
     import numpy as np
 
     from .camera import Camera
@@ -120,6 +125,12 @@ def main(argv=None) -> int:
 
     cam = Camera.reference_camera(
         aspect=cfg.render_width / cfg.render_height)
+    cam_player = None
+    if args.camera_path:
+        from .camera_path import CameraPath
+        cam_player = CameraPath.load(args.camera_path).player(
+            cfg.render_width / cfg.render_height)
+        cam = cam_player.camera
 
     golden = None
     try:
@@ -174,6 +185,24 @@ def main(argv=None) -> int:
                 if r is not None:
                     r.lights = update_scene(r.lights, cfg.scene, dt_s)
         last_t = t0
+        if cam_player is not None:
+            # Input::HandleUserCamInput analog: a camera change restarts
+            # the progressive accumulation (the reference's blend would
+            # otherwise ghost; cam->SetChanged, Input.cpp:95)
+            cam, cam_changed = cam_player.update(frame)
+            if cam_changed:
+                from .renderer import reset_accumulation
+                if nrc_state is not None:
+                    nrc_state = reset_accumulation(nrc_state)
+                if mc_state is not None:
+                    mc_state = reset_accumulation(mc_state)
+                if restir_state is not None:
+                    # ReSTIR keeps no blend accumulation; a camera cut
+                    # invalidates the temporal-reuse history instead
+                    restir_state = restir_state.replace(
+                        old_reservoirs=jnp.zeros_like(
+                            restir_state.old_reservoirs),
+                        frame=jnp.int32(0))
         if nrc_renderer is not None:
             nrc_state = nrc_renderer.step(nrc_state, cam, train=train)
         if mc_renderer is not None:
@@ -190,7 +219,8 @@ def main(argv=None) -> int:
 
         loss = float(nrc_state.nrc.loss) if nrc_renderer is not None else None
         nrc_cmp = mc_cmp = None
-        if golden is not None and frame % args.benchmark_every == 0:
+        if (golden is not None and args.benchmark_every > 0
+                and frame % args.benchmark_every == 0):
             if args.compare_accumulated:
                 # cheap mode: score the on-screen accumulation (valid while
                 # the camera is static; NOT reference-comparable per frame)
