@@ -225,7 +225,9 @@ def main(argv=None) -> int:
                 # cheap mode: score the on-screen accumulation (valid while
                 # the camera is static; NOT reference-comparable per frame)
                 if nrc_renderer is not None:
-                    nrc_cmp = golden.compare(np.asarray(nrc_state.image))
+                    from .reference import _renderer_image
+                    nrc_cmp = golden.compare(
+                        _renderer_image(nrc_renderer, nrc_state))
                 if mc_renderer is not None:
                     mc_cmp = golden.compare(np.asarray(mc_state.image))
             else:
@@ -262,8 +264,9 @@ def main(argv=None) -> int:
     if args.export_exr:
         from .utils.exr import write_exr
         if nrc_state is not None:
+            from .reference import _renderer_image
             write_exr(os.path.join(out_dir, "nrc.exr"),
-                      np.asarray(nrc_state.image))
+                      _renderer_image(nrc_renderer, nrc_state))
         if mc_state is not None:
             write_exr(os.path.join(out_dir, "mc.exr"),
                       np.asarray(mc_state.image))

@@ -35,25 +35,26 @@ def luminance(rgb: jax.Array) -> jax.Array:
     return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
 
 
-def make_loss_fn(name: str):
-    """tcnn loss zoo subset; denominators are detached like tcnn's backward
+def make_loss_fn_per_sample(name: str):
+    """tcnn loss zoo subset, PER-SAMPLE (mean over channels -> (B,));
+    denominators are detached like tcnn's backward
     (gradient = 2(pred-target)/denom)."""
     name = name.lower()
 
     def rel_l2_luminance(pred, target):
         lum = jax.lax.stop_gradient(luminance(pred))
         denom = lum * lum + 0.01
-        return jnp.mean((pred - target) ** 2 / denom[..., None])
+        return jnp.mean((pred - target) ** 2 / denom[..., None], axis=-1)
 
     def rel_l2(pred, target):
         denom = jax.lax.stop_gradient(pred) ** 2 + 0.01
-        return jnp.mean((pred - target) ** 2 / denom)
+        return jnp.mean((pred - target) ** 2 / denom, axis=-1)
 
     def l2(pred, target):
-        return jnp.mean((pred - target) ** 2)
+        return jnp.mean((pred - target) ** 2, axis=-1)
 
     def l1(pred, target):
-        return jnp.mean(jnp.abs(pred - target))
+        return jnp.mean(jnp.abs(pred - target), axis=-1)
 
     table = {"relativel2luminance": rel_l2_luminance,
              "relativel2": rel_l2, "l2": l2, "l1": l1}
@@ -61,6 +62,16 @@ def make_loss_fn(name: str):
         raise ValueError(f"unsupported loss {name!r}; "
                          f"choose from {sorted(table)}")
     return table[name]
+
+
+def make_loss_fn(name: str):
+    """Batch-mean form of make_loss_fn_per_sample (the tcnn loss value)."""
+    per = make_loss_fn_per_sample(name)
+
+    def mean_loss(pred, target):
+        return jnp.mean(per(pred, target))
+
+    return mean_loss
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -100,6 +111,7 @@ class NeuralRadianceCache:
         self.width = cfg.nn_width
         self.depth = cfg.nn_depth
         self.loss_fn = make_loss_fn(cfg.loss_fn)
+        self.loss_fn_per_sample = make_loss_fn_per_sample(cfg.loss_fn)
         self.optimizer = make_optimizer(cfg.optimizer, cfg.learning_rate)
         self.ema_decay = cfg.ema_decay
         self.compute_dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" \
@@ -160,19 +172,38 @@ class NeuralRadianceCache:
 
     # -- training -----------------------------------------------------------
     def train_step(self, state: NrcState, x5: jax.Array, target: jax.Array,
-                   axis_name: Optional[str] = None) -> NrcState:
+                   axis_name: Optional[str] = None,
+                   weight: Optional[jax.Array] = None) -> NrcState:
         """One optimizer step on one (batch, 5)/(batch, 3) training batch.
         With ``axis_name`` set, gradients are psum-averaged over the mesh
-        axis (replicated-parameter data parallelism over ICI)."""
+        axis (replicated-parameter data parallelism over ICI).  ``weight``
+        (B,) masks padding lanes on uneven shards: the weighted global
+        gradient (psum of weighted sums / psum of weights) equals the
+        single-chip gradient over only the weight>0 samples."""
 
-        def loss_of(params):
-            pred = self.apply(params, x5, train_fast=self.train_fast)
-            return self.loss_fn(pred, target)
+        if weight is None:
+            def loss_of(params):
+                pred = self.apply(params, x5, train_fast=self.train_fast)
+                return self.loss_fn(pred, target)
+        else:
+            tot = jnp.sum(weight)
+            if axis_name is not None:
+                tot = jax.lax.psum(tot, axis_name)
+            inv_tot = 1.0 / jnp.maximum(tot, 1.0)
+
+            def loss_of(params):
+                pred = self.apply(params, x5, train_fast=self.train_fast)
+                per = self.loss_fn_per_sample(pred, target)
+                return jnp.sum(per * weight) * inv_tot
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
+            if weight is None:
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+            else:
+                grads = jax.lax.psum(grads, axis_name)
+                loss = jax.lax.psum(loss, axis_name)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
@@ -191,7 +222,8 @@ class NeuralRadianceCache:
                         loss=loss, step=state.step + 1)
 
     def train_frame(self, state: NrcState, x5: jax.Array, target: jax.Array,
-                    axis_name: Optional[str] = None) -> NrcState:
+                    axis_name: Optional[str] = None,
+                    weight: Optional[jax.Array] = None) -> NrcState:
         """The per-frame training pass: ``train_batch_count`` sequential
         steps over equal slices of the frame's training set
         (NeuralRadianceCache.cu:147-156)."""
@@ -199,5 +231,6 @@ class NeuralRadianceCache:
         bs = x5.shape[0] // n
         for i in range(n):
             sl = slice(i * bs, (i + 1) * bs)
-            state = self.train_step(state, x5[sl], target[sl], axis_name)
+            state = self.train_step(state, x5[sl], target[sl], axis_name,
+                                    None if weight is None else weight[sl])
         return state

@@ -71,11 +71,11 @@ class ShardedNrcRenderer:
         self.n = self.mesh.devices.size
         self.width = cfg.render_width
         self.height = cfg.render_height
-        if self.height % self.n:
-            raise ValueError(
-                f"render_height {self.height} not divisible by mesh size "
-                f"{self.n}")
-        self.local_h = self.height // self.n
+        self.out_height = cfg.render_height
+        # pad rows up to the mesh size: the padded rows trace harmless
+        # out-of-frame rays (v >= 1) and are cropped by final_image()
+        self.pad_h = -(-self.height // self.n) * self.n
+        self.local_h = self.pad_h // self.n
         self.vol = vol if vol is not None else _volume_from_config(cfg)
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
@@ -89,9 +89,13 @@ class ShardedNrcRenderer:
         self.train_w, self.train_h, self.train_x_dist, self.train_y_dist = \
             tw, th, xd, yd
         n_train = tw * th
-        if n_train % self.n:
-            raise ValueError("train pixel count must divide the mesh size")
-        self.local_train = n_train // self.n
+        # per-BATCH padding: global batch bs_g splits into ceil(bs_g/n)
+        # lanes per shard; the overhang lanes get training weight 0 so the
+        # psum'd gradient equals the single-chip batch gradient exactly
+        self._bs_g = n_train // cfg.train_batch_count
+        self._bs_l = -(-self._bs_g // self.n)
+        self._padded_train = (self._bs_g % self.n) != 0
+        self.local_train = self._bs_l * cfg.train_batch_count
 
         axis = self.axis
         state_spec = NrcRenderState(
@@ -126,7 +130,7 @@ class ShardedNrcRenderer:
         ring_data = np.zeros((self.n * ring_cap, 6), np.float32)
         ring_data[:, 3:] = 1.0 / np.sqrt(3.0)
         state = NrcRenderState(
-            image=jnp.zeros((self.height, self.width, 4), jnp.float32),
+            image=jnp.zeros((self.pad_h, self.width, 4), jnp.float32),
             blend_index=jnp.int32(1),
             ring=RingBuffer(
                 data=jnp.asarray(ring_data),
@@ -142,6 +146,11 @@ class ShardedNrcRenderer:
              train: bool = True) -> NrcRenderState:
         fn = self._step_train if train else self._step_frozen
         return fn(state, camera, self.vol, self.lights)
+
+    def final_image(self, state: NrcRenderState) -> jax.Array:
+        """The displayable image: padding rows (height not divisible by
+        the mesh size) cropped off."""
+        return state.image[:self.out_height]
 
     # ------------------------------------------------------------------
     def _local_step(self, state: NrcRenderState, camera: Camera, vol: Volume,
@@ -212,10 +221,12 @@ class ShardedNrcRenderer:
             # holds the shard's sub-range of global batch b, so the psum'd
             # gradient equals the single-chip batch gradient (same samples,
             # only reassociated).
-            bs_g = cfg.train_pixel_count // cfg.train_batch_count
-            bs_l = bs_g // self.n
+            bs_g, bs_l = self._bs_g, self._bs_l
             j = jnp.arange(self.local_train)
-            lin = (j // bs_l) * bs_g + shard * bs_l + (j % bs_l)
+            pos_in_batch = shard * bs_l + (j % bs_l)
+            valid = pos_in_batch < bs_g
+            lin = ((j // bs_l) * bs_g
+                   + jnp.minimum(pos_in_batch, bs_g - 1))
             tyg = lin // self.train_w     # global train-grid coords
             txg = lin % self.train_w
             px = txg * self.train_x_dist  # global render-pixel coords
@@ -234,7 +245,7 @@ class ShardedNrcRenderer:
             qpos = tprim["nrc_pos"]
             qdir = tprim["nrc_dir"]
 
-            popped, ring = ring_pop(ring, ~scat)
+            popped, ring = ring_pop(ring, ~scat & valid)
             r_ro = jnp.where(scat[..., None], qpos, popped[:, :3])
             r_rd = jnp.where(scat[..., None], qdir, popped[:, 3:])
             r_rd = r_rd / jnp.maximum(
@@ -254,13 +265,16 @@ class ShardedNrcRenderer:
                 t_state = res["state"]
             target = jnp.minimum(target / cfg.train_spp, 8.0)
 
-            ring = ring_push(ring, scat,
+            ring = ring_push(ring, scat & valid,
                              jnp.concatenate([r_ro, r_rd], axis=-1))
 
             train_x5 = pack_nrc_inputs(vol, r_ro, r_rd)
             # per-batch grads psum over the mesh: replicated params DP
+            weight = valid.astype(jnp.float32) if self._padded_train \
+                else None
             nrc_state = self.cache.train_frame(nrc_state, train_x5, target,
-                                               axis_name=axis)
+                                               axis_name=axis,
+                                               weight=weight)
 
         ring_out = RingBuffer(data=ring.data, head=ring.head[None],
                               tail=ring.tail[None])

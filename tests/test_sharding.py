@@ -93,7 +93,40 @@ def test_sharded_training_close_to_single_chip(mesh8):
     assert np.abs(wa - wb).max() < 5 * 0.01 * cfg.train_batch_count
 
 
-def test_mesh_size_validation():
-    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer, make_mesh
-    with pytest.raises(ValueError):
-        ShardedNrcRenderer(_cfg(render_height=30), mesh=make_mesh(8))
+def test_non_divisible_dims_pad_and_match_single_chip(mesh8):
+    """Height 30 over 8 devices (pads to 32 rows) + train batches that
+    don't divide the mesh (weight-masked lanes): the cropped sharded frame
+    must match the single-chip frame and training must stay equivalent."""
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer
+    from nrc_hpm_tpu.renderer import NrcRenderer
+    from nrc_hpm_tpu.parallel.sharding import make_mesh
+    # rows: height 30 over 8 devices pads to 32
+    cfg = _cfg(render_height=30)
+    single = NrcRenderer(cfg)
+    sharded = ShardedNrcRenderer(cfg, mesh=mesh8)
+    assert sharded.pad_h == 32 and sharded.local_h == 4
+    cam = Camera.reference_camera(aspect=64 / 30)
+
+    img_a = np.asarray(
+        single.step(single.init_state(7), cam, train=False).image)
+    st_b = sharded.step(sharded.init_state(7), cam, train=False)
+    img_b = np.asarray(sharded.final_image(st_b))
+    assert img_a.shape == img_b.shape == (30, 64, 4)
+    per_px = np.abs(img_a - img_b).max(axis=-1)
+    assert (per_px < 1e-4).mean() > 0.97, (per_px < 1e-4).mean()
+
+    # train batches: power-of-two batch sizes only pad on non-power-of-two
+    # meshes — 64-pixel batches over 3 shards -> 22 lanes/shard, 2 masked
+    sharded = ShardedNrcRenderer(cfg, mesh=make_mesh(3))
+    assert sharded._padded_train and sharded._bs_l == 22
+    st_a = single.init_state(7)
+    st_b = sharded.init_state(7)
+    w0 = np.asarray(st_a.nrc.params["mlp"]["layers"][0]).copy()
+    sa = single.step(st_a, cam, train=True)
+    sb = sharded.step(st_b, cam, train=True)
+    wa = np.asarray(sa.nrc.params["mlp"]["layers"][0])
+    wb = np.asarray(sb.nrc.params["mlp"]["layers"][0])
+    da, db = (wa - w0).ravel(), (wb - w0).ravel()
+    corr = np.dot(da, db) / (np.linalg.norm(da) * np.linalg.norm(db))
+    assert corr > 0.95, corr
+    assert np.isfinite(float(sb.nrc.loss))
