@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.nrc.encoding import HashGridSpec, _corner_offsets
+from .loops import unrolled_fori
 
 BLK_R = 8          # sample-block rows (Mosaic needs >= 8 sublanes); BLK = BLK_R * 128 samples
 OUT_ROWS = 8       # output channels padded to one sublane tile
@@ -61,7 +62,7 @@ def _level_statics(spec: HashGridSpec):
 
 
 def _kernel(x_ref, tbl_ref, *w_refs_and_out, spec: HashGridSpec,
-            n_bins: int, pad_ones: int, depth: int):
+            n_bins: int, pad_ones: int, depth: int, blk_r: int = BLK_R):
     w_refs = w_refs_and_out[:-1]
     out_ref = w_refs_and_out[-1]
     levels = _level_statics(spec)
@@ -119,15 +120,15 @@ def _kernel(x_ref, tbl_ref, *w_refs_and_out, spec: HashGridSpec,
             picked = jnp.take_along_axis(rowv, cidx, axis=1)
             return jnp.where(r == row, picked, acc)
 
-        acc = jax.lax.fori_loop(0, lev["rows"], body, acc)
+        acc = unrolled_fori(lev["rows"], body, acc, 8)
 
         # unpack the bf16-packed pair and pool the 8 corners
         w32 = jax.lax.bitcast_convert_type(acc, jnp.uint32)
         f0 = jax.lax.bitcast_convert_type(
             w32 & jnp.uint32(0xFFFF0000), jnp.float32) * wt
         f1 = jax.lax.bitcast_convert_type(w32 << 16, jnp.float32) * wt
-        f0 = jnp.sum(f0.reshape(8, BLK_R, 128), axis=0)   # (BLK_R, 128)
-        f1 = jnp.sum(f1.reshape(8, BLK_R, 128), axis=0)
+        f0 = jnp.sum(f0.reshape(8, blk_r, 128), axis=0)   # (blk_r, 128)
+        f1 = jnp.sum(f1.reshape(8, blk_r, 128), axis=0)
         feats.append(f0)
         feats.append(f1)
 
@@ -151,18 +152,21 @@ def _kernel(x_ref, tbl_ref, *w_refs_and_out, spec: HashGridSpec,
             z_lo = (float(edges[b]) - xd) * sigma_inv
             feats.append(0.5 * (erf_approx(z_hi) - erf_approx(z_lo)))
     for _ in range(pad_ones):
-        feats.append(jnp.ones((BLK_R, 128), jnp.float32))
+        feats.append(jnp.ones((blk_r, 128), jnp.float32))
 
-    # -- transposed MLP per sample sub-row --------------------------------
-    for s in range(BLK_R):
-        h = jnp.concatenate(
-            [f[s:s + 1, :] for f in feats], axis=0).astype(jnp.bfloat16)
-        h32 = None
-        for i, w in enumerate(w_refs):
-            h32 = jnp.dot(w[...], h, preferred_element_type=jnp.float32)
-            if i + 1 < len(w_refs):
-                h = jnp.maximum(h32, 0.0).astype(jnp.bfloat16)
-        out_ref[s] = h32                              # (OUT_ROWS, 128)
+    # -- transposed MLP, ONE wide matmul chain per block -------------------
+    # A per-sub-row loop issues depth*BLK_R tiny (width, in)@(in, 128)
+    # matmuls whose MXU pipe-fill latency dominates the kernel; batching
+    # the whole block to (in_dim, BLK_R*128) runs the same FLOPs in depth
+    # full-width matmuls.
+    h = jnp.stack(feats, axis=0).reshape(
+        len(feats), blk_r * 128).astype(jnp.bfloat16)
+    h32 = None
+    for i, w in enumerate(w_refs):
+        h32 = jnp.dot(w[...], h, preferred_element_type=jnp.float32)
+        if i + 1 < len(w_refs):
+            h = jnp.maximum(h32, 0.0).astype(jnp.bfloat16)
+    out_ref[...] = h32.reshape(OUT_ROWS, blk_r, 128)
 
 
 def _transpose_weights(layers, in_dim: int):
@@ -191,28 +195,28 @@ def use_fused_encode(spec, enc_cfg, n: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "n_bins", "pad_ones",
-                                             "depth", "interpret"))
+                                             "depth", "blk_r", "interpret"))
 def _call(x5t, tables, weights, *, spec, n_bins, pad_ones, depth,
-          interpret=False):
+          blk_r=BLK_R, interpret=False):
     n_blocks = x5t.shape[1]
     kern = functools.partial(_kernel, spec=spec, n_bins=n_bins,
-                             pad_ones=pad_ones, depth=depth)
+                             pad_ones=pad_ones, depth=depth, blk_r=blk_r)
     w_specs = [pl.BlockSpec(w.shape, lambda g, nd=w.ndim: (0,) * nd,
                             memory_space=pltpu.VMEM)
                for w in weights]
-    grid = (n_blocks // BLK_R,)
+    grid = (n_blocks // blk_r,)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, OUT_ROWS, 128),
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, n_blocks, 128),
                                        jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((5, BLK_R, 128), lambda g: (0, g, 0),
+            pl.BlockSpec((5, blk_r, 128), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tables.shape, lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((BLK_R, OUT_ROWS, 128), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((OUT_ROWS, blk_r, 128), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x5t, tables, *weights)
@@ -221,6 +225,7 @@ def _call(x5t, tables, weights, *, spec, n_bins, pad_ones, depth,
 def fused_encode_mlp_infer(packed_table: jax.Array, mlp_layers,
                            x5: jax.Array, spec: HashGridSpec,
                            n_bins: int = 4, out_dim: int = 3,
+                           blk_r: int | None = None,
                            interpret: bool = False) -> jax.Array:
     """x5 (N, 5) raw NRC inputs -> (N, out_dim) cache prediction, one fused
     kernel.  ``packed_table`` is pack_table_bf16's (P,) uint32 word table;
@@ -228,8 +233,10 @@ def fused_encode_mlp_infer(packed_table: jax.Array, mlp_layers,
     composite encoding's padded out_dim)."""
     from ..models.nrc.encoding import _levels_table_u32
 
+    if blk_r is None:
+        blk_r = int(os.environ.get("NRC_FUSED_BLK_R", BLK_R))
     n = x5.shape[0]
-    blk = BLK_R * 128
+    blk = blk_r * 128
     pad = (-n) % blk
     if pad:
         x5 = jnp.concatenate([x5, jnp.zeros((pad, 5), x5.dtype)], axis=0)
@@ -243,6 +250,6 @@ def fused_encode_mlp_infer(packed_table: jax.Array, mlp_layers,
     weights = _transpose_weights(mlp_layers, in_dim)
     out = _call(x5t, tables, tuple(weights), spec=spec, n_bins=n_bins,
                 pad_ones=pad_ones, depth=len(mlp_layers) - 1,
-                interpret=interpret)
-    out = jnp.moveaxis(out, 1, 2).reshape(m, OUT_ROWS)[:n, :out_dim]
+                blk_r=blk_r, interpret=interpret)
+    out = jnp.moveaxis(out, 0, 2).reshape(m, OUT_ROWS)[:n, :out_dim]
     return out

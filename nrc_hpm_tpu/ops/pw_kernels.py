@@ -32,8 +32,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .loops import unrolled_fori
+
 LANES = 128
 ROWS = 8               # lane-rows per program: 8 x 128 = 1024 lanes
+UNROLL = 4             # kernel-loop partial unroll (ops/loops.py): full
+                       # unroll traced ~10k primitives/kernel (150 s of
+                       # 1080p trace time); unroll=1 serialized the VPU
+                       # (~35% slower frames).  4 keeps traces ~16x smaller
+                       # than full unroll at near-unrolled throughput.
 _SALT_EVENT = 0x9E3779B9   # matches transmittance ratio event draws
 _SALT_DELTA = 0x85EBCA6B   # matches transmittance delta event draws
 
@@ -110,8 +117,8 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
                 picked = jnp.take_along_axis(rowv, c, axis=1)
                 return jnp.where(r == row, picked, acc)
 
-            acc = jax.lax.fori_loop(0, n_rows, srow,
-                                    jnp.zeros(shape, jnp.float32))
+            acc = unrolled_fori(n_rows, srow,
+                                jnp.zeros(shape, jnp.float32), UNROLL)
             sig, ctl = _unpack_profile(acc)
             sig = jnp.where(in_ext, sig, 0.0) * density_factor
             ctl = jnp.where(in_strict, ctl, 0.0) * density_factor
@@ -122,7 +129,7 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
 
         def prof_body(i, carry):
             p_sig, p_ctl, ccum, rcum = carry
-            t_i = (i + 1).astype(jnp.float32) * h
+            t_i = jnp.asarray(i + 1).astype(jnp.float32) * h
             nx = ox + t_i * vx
             ny = oy + t_i * vy
             nz = oz + t_i * vz
@@ -137,8 +144,8 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             return n_sig, n_ctl, ccum, rcum
 
         zero = jnp.zeros_like(h)
-        _, _, ccum, rcum = jax.lax.fori_loop(
-            0, C, prof_body, (p_sig0, p_ctl0, zero, zero))
+        _, _, ccum, rcum = unrolled_fori(
+            C, prof_body, (p_sig0, p_ctl0, zero, zero), UNROLL)
         rtot_out[...] = rcum
         ctot_out[...] = ccum
 
@@ -147,7 +154,7 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
         e_base = ebase_smem[0]
 
         def ev_body(s, E):
-            k = (jnp.uint32(e_base) + s.astype(jnp.uint32)
+            k = (jnp.uint32(e_base) + jnp.asarray(s).astype(jnp.uint32)
                  + jnp.zeros(seed.shape, jnp.uint32))
             u = _uniform(seed, k, salt)
             E = E - jnp.log1p(-u)
@@ -165,10 +172,10 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
                                          - sig_scr[pl.ds(ci, 1)][0])
                 return kacc, e_left, c_at, sig_at, rc
 
-            kacc, e_left, c_at, sig_at, _ = jax.lax.fori_loop(
-                0, C - 1, tele,
+            kacc, e_left, c_at, sig_at, _ = unrolled_fori(
+                C - 1, tele,
                 (jnp.zeros_like(E), jnp.zeros_like(E), ctl_scr[0],
-                 sig_scr[0], jnp.zeros_like(E)))
+                 sig_scr[0], jnp.zeros_like(E)), UNROLL)
             beyond = E >= rcum
             # e_left sums ge_c * d_rcum with d relative to the PREVIOUS
             # rcum — i.e. e_left = rcum[kacc-1] for kacc >= 1

@@ -33,8 +33,9 @@ def _oracle(cache, state, x5):
     return mlp_apply(state.ema_params["mlp"], feats)
 
 
+@pytest.mark.parametrize("blk_r", [8, 16])
 @pytest.mark.parametrize("n", [512, 1000])
-def test_fused_matches_split_path(n):
+def test_fused_matches_split_path(n, blk_r):
     cache = _cache()
     state = cache.init_state(jax.random.PRNGKey(0))
     # inputs spanning in-range and the reference's out-of-range theta
@@ -44,7 +45,7 @@ def test_fused_matches_split_path(n):
     packed = pack_table_bf16(state.ema_params["encoding"]["hash_table"])
     got = np.asarray(fused_encode_mlp_infer(
         packed, state.ema_params["mlp"]["layers"], x5,
-        cache.encoding.grid_spec, n_bins=4, interpret=True))
+        cache.encoding.grid_spec, n_bins=4, blk_r=blk_r, interpret=True))
     assert got.shape == (n, 3)
     assert np.allclose(got, want, atol=1e-2), np.abs(got - want).max()
 
