@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.nrc.encoding import HashGridSpec, _corner_offsets
 from .loops import unrolled_fori
 
-BLK_R = 8          # sample-block rows (Mosaic needs >= 8 sublanes); BLK = BLK_R * 128 samples
+BLK_R = 32         # sample-block rows; BLK = BLK_R * 128 samples.  Swept on
+                   # TPU v5e (experiments/kernel_tune.py): 8 -> 11.9M, 16 ->
+                   # 13.0M, 32 -> 13.9M samples/s at the bench workload.
 OUT_ROWS = 8       # output channels padded to one sublane tile
 
 

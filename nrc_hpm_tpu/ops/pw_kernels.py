@@ -36,11 +36,13 @@ from .loops import unrolled_fori
 
 LANES = 128
 ROWS = 8               # lane-rows per program: 8 x 128 = 1024 lanes
-UNROLL = 4             # kernel-loop partial unroll (ops/loops.py): full
+UNROLL = 8             # kernel-loop partial unroll (ops/loops.py): full
                        # unroll traced ~10k primitives/kernel (150 s of
                        # 1080p trace time); unroll=1 serialized the VPU
-                       # (~35% slower frames).  4 keeps traces ~16x smaller
-                       # than full unroll at near-unrolled throughput.
+                       # (~35% slower frames).  TPU v5e sweep
+                       # (experiments/kernel_tune.py): 8 is fastest of
+                       # {1,2,4,8} while keeping traces ~8x below full
+                       # unroll.
 _SALT_EVENT = 0x9E3779B9   # matches transmittance ratio event draws
 _SALT_DELTA = 0x85EBCA6B   # matches transmittance delta event draws
 
