@@ -69,10 +69,22 @@ class McRenderer:
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
                                   max_track_steps=cfg.max_track_steps)
-        self._step = jax.jit(partial(
+        inner = partial(
             _mc_step, params=self.params, width=self.width,
             height=self.height, path_length=self.path_length,
-            blend=self.blend, chunks=cfg.trace_chunks))
+            blend=self.blend, chunks=cfg.trace_chunks)
+        self._step = jax.jit(inner)
+
+        def _multi(state, camera, vol, lights, n):
+            def body(st, _):
+                return inner(st, camera, vol, lights), None
+            return jax.lax.scan(body, state, None, length=n)[0]
+
+        # n scanned steps per dispatch: at golden-generation resolutions a
+        # frame runs in ~ms and the tunnel's dispatch latency dominates a
+        # step-per-call loop (4096 frames took ~15 min/scene)
+        self._multi_step = jax.jit(_multi, static_argnames=("n",),
+                                   donate_argnums=(0,))
 
     def init_state(self, seed: int = 0) -> McState:
         return McState(
@@ -83,11 +95,20 @@ class McRenderer:
     def step(self, state: McState, camera: Camera) -> McState:
         return self._step(state, camera, self.vol, self.lights)
 
-    def render(self, camera: Camera, frames: int, seed: int = 0) -> jax.Array:
+    def multi_step(self, state: McState, camera: Camera, n: int) -> McState:
+        """``n`` accumulation steps in ONE dispatch (lax.scan)."""
+        return self._multi_step(state, camera, self.vol, self.lights, n=n)
+
+    def render(self, camera: Camera, frames: int, seed: int = 0,
+               steps_per_dispatch: int = 1) -> jax.Array:
         """Accumulate ``frames`` frames and return the (H, W, 4) image."""
         state = self.init_state(seed)
-        for _ in range(frames):
-            state = self.step(state, camera)
+        done = 0
+        while done < frames:
+            k = min(steps_per_dispatch, frames - done)
+            state = self.multi_step(state, camera, k) if k > 1 \
+                else self.step(state, camera)
+            done += k
         return state.image
 
 
