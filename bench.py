@@ -39,14 +39,27 @@ def _flag(name, default="1"):
     return os.environ.get(name, default).lower() not in ("", "0", "false")
 
 
-def wall(fn, n, *args):
+def sync(out) -> float:
+    """REAL device sync: fetch a scalar that data-depends on every output
+    leaf.  The axon tunnel acks block_until_ready before device execution
+    finishes, so only a device->host value transfer is a trustworthy
+    barrier (same principle as profiler._chain_time)."""
     import jax
+    import jax.numpy as jnp
+    tok = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            tok = tok + jnp.sum(leaf).astype(jnp.float32)
+    return float(tok)
+
+
+def wall(fn, n, *args):
     out = None
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
         args = (out,) + args[1:]
-    jax.block_until_ready(out)
+    sync(out)
     return (time.time() - t0) / n, out
 
 
@@ -75,7 +88,7 @@ def main():
     state = r.init_state(0)
     t0 = time.time()
     state = r.step(state, cam, train=True)
-    jax.block_until_ready(state.image)
+    sync(state)
     results["compile_plus_first_frame_s"] = round(time.time() - t0, 1)
     log(f"nrc compile+first frame: {results['compile_plus_first_frame_s']}s")
 
@@ -94,7 +107,7 @@ def main():
     else:
         try:
             state = r.step(state, cam, train=False)
-            jax.block_until_ready(state.image)
+            sync(state)
             fdt, state = wall(lambda s: r.step(s, cam, train=False), 4,
                               state)
             results["nrc_frozen_ms_per_frame"] = round(fdt * 1000, 1)
@@ -126,7 +139,7 @@ def main():
             mc = McRenderer(cfg)
             mst = mc.init_state(0)
             mst = mc.step(mst, cam)
-            jax.block_until_ready(mst.image)
+            sync(mst)
             mdt, mst = wall(lambda s: mc.step(s, cam), 3, mst)
             results["mc32_ms_per_frame"] = round(mdt * 1000, 1)
             results["mc32_rays_per_s"] = round(n_rays / mdt, 1)
@@ -142,7 +155,7 @@ def main():
             r19 = NrcRenderer(AppConfig())
             s19 = r19.init_state(0)
             s19 = r19.step(s19, cam, train=True)
-            jax.block_until_ready(s19.image)
+            sync(s19)
             ddt, s19 = wall(lambda s: r19.step(s, cam, train=True), 3, s19)
             results["nrc_online_2e19_ms_per_frame"] = round(ddt * 1000, 1)
             results["nrc_online_2e19_rays_per_s"] = round(n_rays / ddt, 1)
