@@ -10,10 +10,13 @@ identical semantics, hash-grid tables sized into the rowsweep fast-gather
 window; quality parity vs the 2^19 table is documented in BASELINE.md).
 
 The full BASELINE metric set is recorded by default (VERDICT r2 item 5) —
-frozen-cache frame, NRC inference samples/s, MC ground-truth frame, the
-reference-default-encoding (2^19) frame, and the 8-stage breakdown — to
-stderr AND to output/bench_full.json.  NRC_BENCH_FULL=0 keeps only the
-headline; NRC_BENCH_PROFILE=0 skips the stage breakdown.
+frozen-cache frame, NRC inference samples/s, MC ground-truth frame, and
+the reference-default-encoding (2^19) frame — to stderr AND to
+output/bench_full.json.  NRC_BENCH_FULL=0 keeps only the headline.
+NRC_BENCH_PROFILE=1 additionally chain-times the 8-stage breakdown; it
+defaults OFF because isolating each stage costs ~11 min of device time.
+The round-3 breakdown is recorded in BASELINE.md (gen_rays 1875 ms,
+prep_train 752 ms, nn 125 ms of a ~2.4 s frame — tracing-bound).
 
 Sub-100ms measurements use the chained-scan protocol (profiler._chain_time):
 the axon tunnel acks block_until_ready early, so naive wall timing of small
@@ -165,8 +168,9 @@ def main():
             log(f"2^19 bench skipped: {e}")
 
     # ---- context: 8-stage breakdown (the reference's timestamp pool) ----
-    if not (full and _flag("NRC_BENCH_PROFILE")):
-        log("stage profile skipped: set NRC_BENCH_FULL=1 NRC_BENCH_PROFILE=1")
+    if not (full and _flag("NRC_BENCH_PROFILE", default="0")):
+        log("stage profile skipped (costs ~11 min): set NRC_BENCH_FULL=1 "
+            "NRC_BENCH_PROFILE=1; round-3 breakdown is in BASELINE.md")
     else:
         try:
             from nrc_hpm_tpu.profiler import (format_stage_report,

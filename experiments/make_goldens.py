@@ -2,13 +2,19 @@
 scene 3's golden (missing upstream — the generation branch is dead code,
 SURVEY quirk 3 / Reference.cpp:566-671).
 
-Writes reference/<id>/low.exr (192x108, 4096 frames of 64-bounce MC) for
-every preset, and reference/3/0.exr as scene 3's canonical golden.
-Run on the TPU (low-res frames are dispatch-bound, ~1-2 min per scene).
+Writes reference/<id>/low.exr (192x108 64-bounce MC, GOLDEN_FRAMES
+accumulated frames) for every preset, and reference/3/0.exr as scene 3's
+canonical golden.  Run on the TPU.  At the measured MC rate (~2.5M
+bounce-traces/s, BASELINE.md) a 192x108 64-bounce frame costs ~0.5 s, so
+256 frames/scene is ~2.5 min each; the checked-in set used 256 for
+low.exr (plenty for the pooled mean-brightness tests; per-pixel noise
+~CV/16) and 1024 for scene 3's canonical 0.exr.
 """
 import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: F401
 
@@ -20,7 +26,7 @@ from nrc_hpm_tpu.config import AppConfig, SceneConfig
 from nrc_hpm_tpu.reference import generate_golden
 
 W, H = 192, 108
-FRAMES = int(os.environ.get("GOLDEN_FRAMES", "4096"))
+FRAMES = int(os.environ.get("GOLDEN_FRAMES", "256"))
 
 
 def main():

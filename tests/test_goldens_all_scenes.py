@@ -1,7 +1,8 @@
 """Cross-scene quality net against the checked-in low-res goldens.
 
-``reference/<id>/low.exr`` are 192x108 goldens of 4096 accumulated
-64-bounce MC frames, generated on the TPU by experiments/make_goldens.py
+``reference/<id>/low.exr`` are 192x108 goldens of 256 accumulated
+64-bounce MC frames (1024 for scene 3's canonical ``reference/3/0.exr``),
+generated on the TPU by experiments/make_goldens.py
 through reference.generate_golden — the working form of the reference's
 dead GenRefImages branch (Reference.cpp:566-671, SURVEY quirk 3).  Scene 3
 additionally gets ``reference/3/0.exr`` (the upstream repo never shipped
