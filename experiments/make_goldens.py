@@ -38,7 +38,7 @@ def main():
               f"-> {out}", flush=True)
         generate_golden(cfg, out, frames=FRAMES, path_length=64,
                         width=W, height=H, seed=0,
-                        progress_every=256)
+                        progress_every=64)
         if sid == 3:
             shutil.copyfile(out, "reference/3/0.exr")
             print("scene 3: low.exr promoted to 0.exr (canonical golden)",

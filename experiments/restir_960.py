@@ -80,8 +80,10 @@ def main():
     print(f"mc32: {out['mc_ms_per_frame']} ms/frame", flush=True)
     mc_img = np.asarray(mst.image)
 
+    # steps_per_dispatch kept small: a 960x540 32-bounce frame is ~7 s of
+    # device time and the tunnel kills dispatches much past ~60 s
     truth = np.asarray(mc.render(cam, TRUTH_FRAMES, seed=7,
-                                 steps_per_dispatch=16))
+                                 steps_per_dispatch=4))
     out["restir_mse_vs_truth"] = mse(restir_img, truth)
     out["mc_mse_vs_truth"] = mse(mc_img, truth)
     out["mse_ratio_restir_over_mc"] = round(
