@@ -270,12 +270,13 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
         return direction, radiance, factor, alive, state
 
     n_lanes = ro.shape[0] if ro.ndim == 2 else 0
-    use_compact = (p.bounce_compact_frac > 0 and ro.ndim == 2
-                   and n_lanes >= COMPACT_MIN_LANES)
+    big = ro.ndim == 2 and n_lanes >= COMPACT_MIN_LANES
+    use_compact_delta = p.bounce_compact_frac > 0 and big
+    use_compact_scene = p.scene_compact_frac > 0 and big
     cap_delta = max(int(n_lanes * p.bounce_compact_frac), 128) \
-        if use_compact else 0
+        if use_compact_delta else 0
     cap_scene = max(int(n_lanes * p.scene_compact_frac), 128) \
-        if use_compact else 0
+        if use_compact_scene else 0
 
     def _compacted(mask, arrays, fn, cap):
         """Run fn on the mask-compacted lanes (dense fallback on overflow);
@@ -315,7 +316,7 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
             d2, r2, f2, al2, st2 = phase_scene(i, pt, d, r, f, al, st)
             return pt, d2, r2, f2, al2, st2
 
-        if use_compact:
+        if use_compact_delta:
             point, direction, alive, state = _compacted(
                 alive, (point, direction, alive, state), d_fn, cap_delta)
         else:
@@ -323,7 +324,7 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
                 point, direction, alive, state)
         scattered = scattered | alive
 
-        if use_compact:
+        if use_compact_scene:
             point, direction, radiance, factor, alive, state = _compacted(
                 alive, (point, direction, radiance, factor, alive, state),
                 s_fn, cap_scene)

@@ -43,10 +43,15 @@ def test_short_mc_run_matches_checked_in_golden(scene_id):
     img = np.asarray(r.render(cam, frames=FRAMES, seed=scene_id + 1))
     res = golden.compare(img)
     assert np.isfinite(res.mse)
-    # 10 accumulated frames vs the 4096-frame golden: the mean must agree
-    # within truncation bias + noise; scene 2/5 (dense, bright env) are the
-    # noisiest
-    assert abs(res.rel_bias) < 0.08, (scene_id, res)
+    # 10 accumulated frames vs the 256-frame golden: the raw mean is
+    # firefly-dominated for the point-light-in-dense-medium presets (a
+    # single heavy-tail path moves a 10-frame 96x54 mean by >100%, measured
+    # rel_bias spread at seed sweep: -0.16..+1.46 for scene 2), so the bias
+    # gate scores the clamped distribution body instead: clamp both images
+    # at 20x the golden mean before comparing.
+    clip = 20.0 * float(golden.image[..., :3].mean())
+    robust = golden.compare(img, clip=clip)
+    assert abs(robust.rel_bias) < 0.08, (scene_id, res, robust)
 
 
 def test_scene3_promoted_golden_exists_and_loads():
