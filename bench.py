@@ -168,9 +168,18 @@ def main():
             log(f"2^19 bench skipped: {e}")
 
     # ---- context: 8-stage breakdown (the reference's timestamp pool) ----
+    # `total` + theoretical FPS (NrcHpmRenderer.cu:517-539) are ALWAYS
+    # recorded from the measured frame so the artifact is self-contained;
+    # the per-stage isolation behind NRC_BENCH_PROFILE costs ~11 min.
+    results["stages_ms"] = {
+        "total": results["nrc_online_ms_per_frame"],
+        "theoretical_fps": round(
+            1000.0 / results["nrc_online_ms_per_frame"], 3),
+    }
     if not (full and _flag("NRC_BENCH_PROFILE", default="0")):
-        log("stage profile skipped (costs ~11 min): set NRC_BENCH_FULL=1 "
-            "NRC_BENCH_PROFILE=1; round-3 breakdown is in BASELINE.md")
+        log("per-stage profile skipped (costs ~11 min): set "
+            "NRC_BENCH_FULL=1 NRC_BENCH_PROFILE=1; `total` above is the "
+            "measured frame")
     else:
         try:
             from nrc_hpm_tpu.profiler import (format_stage_report,
@@ -180,6 +189,10 @@ def main():
             results["stages_ms"] = {k: round(v, 2) for k, v in
                                     stages.items()}
             log(format_stage_report(stages))
+            with open("output/stage_profile_r4.json", "w") as f:
+                json.dump({"note": "8-stage breakdown; total = measured "
+                                   "fused frame", "stages_ms":
+                           results["stages_ms"]}, f, indent=1)
         except Exception as e:
             log(f"stage profile skipped: {e}")
 

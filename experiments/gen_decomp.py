@@ -1,7 +1,9 @@
 """Decompose the 1080p gen_rays stage (68% of the tpu_tuned frame).
 
-Feedback-chained wall timings (outputs feed inputs so the axon tunnel's
-early block_until_ready ack cannot hide device time) of:
+Wall timings that rely on the serial device queue plus a final
+data-dependent scalar fetch (the fetch cannot complete until every queued
+dispatch ran, so the axon tunnel's early block_until_ready ack cannot
+hide device time) of:
 
   full        trace_primary, scene-4 lights (dir 8 + env 0.1)
   nolight     trace_primary, all light flags off (delta tracking only)

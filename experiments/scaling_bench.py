@@ -50,8 +50,13 @@ def main():
     for n in (1, 2, 4, 8):
         r = ShardedNrcRenderer(cfg, mesh=make_mesh(n))
         state = r.init_state(0)
-        for _ in range(2):                      # compile + warm
-            state = r.step(state, cam, train=True)
+        state = r.step(state, cam, train=True)  # compile + frame 1
+        # frame-1 loss must be n-independent (exact global-batch
+        # membership, tests/test_sharding.py frame1 gate); the END loss
+        # below is recorded after 7 frames, by which point per-shard ring
+        # divergence makes training trajectories legitimately differ.
+        f1_loss = float(state.nrc.loss)
+        state = r.step(state, cam, train=True)  # warm
         jax.block_until_ready(state.image)
         t0 = time.time()
         steps = 5
@@ -60,8 +65,11 @@ def main():
         jax.block_until_ready(state.image)
         ms = (time.time() - t0) / steps * 1e3
         rows.append(dict(n_devices=n, ms_per_step=round(ms, 1),
-                         loss=round(float(state.nrc.loss), 4)))
-        print(f"n={n}: {ms:.1f} ms/step", flush=True)
+                         frame1_loss=round(f1_loss, 4),
+                         loss_after_7_frames=round(float(state.nrc.loss),
+                                                   4)))
+        print(f"n={n}: {ms:.1f} ms/step frame1_loss={f1_loss:.4f}",
+              flush=True)
     t1 = rows[0]["ms_per_step"]
     for row in rows:
         row["efficiency"] = round(
@@ -71,6 +79,13 @@ def main():
         platform="virtual CPU mesh (xla_force_host_platform_device_count)",
         caveat=("virtual devices share one host's cores: measures sharding "
                 "overhead trends, not hardware scaling"),
+        loss_note=("frame1_loss is n-independent (exact global-batch "
+                   "membership; tests/test_sharding.py asserts params "
+                   "allclose at n=1 vs n=4).  loss_after_7_frames varies "
+                   "with n because per-shard ring buffers pop different "
+                   "entries from frame 2 on — a deterministic-per-shard "
+                   "analog of the reference's nondeterministic atomic ring "
+                   "ordering, not a gradient bug."),
         rows=rows)
     os.makedirs("output", exist_ok=True)
     with open("output/scaling.json", "w") as f:

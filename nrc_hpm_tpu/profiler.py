@@ -202,12 +202,23 @@ def profile_nrc_frame(renderer, state, camera, ns=(1, 4),
                                 ns) * 1e3
 
     # total: the real fused step --------------------------------------------
-    def full(s):
-        return r._step(s, camera, vol, lights, train=True)
     if total_ms is not None:
         out["total"] = total_ms
     elif include_total:
-        out["total"] = _chain_time(full, (state,), ns) * 1e3
+        # Wall-time the production jitted step with a data-dependent scalar
+        # fetch as the barrier.  (_chain_time on the full step was wrong:
+        # its scan re-traces the donated step closure into a form XLA hoists
+        # as loop-invariant, and the recorded `total` collapsed to ~0 — the
+        # round-3 stage_profile artifact's 0.3 ms / 3333 fps bug.)
+        st = jax.tree.map(jnp.copy, state)
+        st = renderer.step(st, camera, train=True)
+        float(jnp.sum(st.image))  # sync after warm-up
+        n_total = max(ns[-1] - ns[0], 1)
+        t0 = time.perf_counter()
+        for _ in range(n_total):
+            st = renderer.step(st, camera, train=True)
+        float(jnp.sum(st.image))
+        out["total"] = (time.perf_counter() - t0) / n_total * 1e3
     if "total" in out:
         out["theoretical_fps"] = 1000.0 / max(out["total"], 1e-9)
     out["stage_sum"] = sum(out[k] for k in (

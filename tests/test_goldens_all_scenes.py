@@ -31,6 +31,28 @@ pytestmark = pytest.mark.skipif(
     reason="checked-in goldens not generated yet")
 
 
+# Clamped-gate operating points measured by
+# experiments/golden_gate_calibration.py (10 seeds per scene, this exact
+# protocol; experiments/output/golden_gate_calibration.json).  The clamp
+# makes the comparison an OFFSET protocol, not an absolute-bias check:
+# min(., clip) is concave, so E[min(mean_n, clip)] grows with the number
+# of accumulated frames n — a 10-frame run sits systematically below the
+# 256-frame golden under the clamp wherever radiance mass lies above the
+# clip.  Scenes 0/3/4/5 have essentially no mass there (center ~ 0);
+# the point-light-in-dense-medium presets 1/2 have measured centers
+# -0.086 +/- 0.039 and -0.215 +/- 0.033 (every seed negative).  The gate
+# asserts |rel_bias - center| < max(3.5 sigma, 0.08) around the
+# calibrated center.
+_GATE = {  # scene_id: (center, tol)
+    0: (-0.000, 0.128),
+    1: (-0.086, 0.136),
+    2: (-0.215, 0.116),
+    3: (+0.001, 0.080),
+    4: (-0.006, 0.080),
+    5: (-0.008, 0.081),
+}
+
+
 @pytest.mark.parametrize("scene_id", range(6))
 def test_short_mc_run_matches_checked_in_golden(scene_id):
     golden = GoldenReference.load(
@@ -43,15 +65,18 @@ def test_short_mc_run_matches_checked_in_golden(scene_id):
     img = np.asarray(r.render(cam, frames=FRAMES, seed=scene_id + 1))
     res = golden.compare(img)
     assert np.isfinite(res.mse)
-    # 10 accumulated frames vs the 256-frame golden: the raw mean is
-    # firefly-dominated for the point-light-in-dense-medium presets (a
-    # single heavy-tail path moves a 10-frame 96x54 mean by >100%, measured
-    # rel_bias spread at seed sweep: -0.16..+1.46 for scene 2), so the bias
-    # gate scores the clamped distribution body instead: clamp both images
-    # at 20x the golden mean before comparing.
-    clip = 20.0 * float(golden.image[..., :3].mean())
+    # loose sanity bound on the UNCLIPPED bias so a tail-only regression
+    # (e.g. a point-light strength bug visible only in fireflies) still
+    # fails; measured raw spread across the calibration seeds is
+    # -0.24..+0.29, heavy-tail outliers at other protocols reached +1.46.
+    assert abs(res.rel_bias) < 1.5, (scene_id, res)
+    # firefly-robust gate: clamp BOTH images at 20x the golden's
+    # VALID-pixel mean, compare against the calibrated per-scene center.
+    valid = golden.image[..., 3] != 0
+    clip = 20.0 * float(golden.image[..., :3][valid].mean())
     robust = golden.compare(img, clip=clip)
-    assert abs(robust.rel_bias) < 0.08, (scene_id, res, robust)
+    center, tol = _GATE[scene_id]
+    assert abs(robust.rel_bias - center) < tol, (scene_id, res, robust)
 
 
 def test_scene3_promoted_golden_exists_and_loads():

@@ -93,6 +93,39 @@ def test_sharded_training_close_to_single_chip(mesh8):
     assert np.abs(wa - wb).max() < 5 * 0.01 * cfg.train_batch_count
 
 
+def test_sharded_frame1_global_batch_exact(mesh8):
+    """Tight gradient-equivalence gate (VERDICT r3 item 3): ONE frame at
+    n=1 vs n=4 from the same seed must produce the SAME post-frame cache.
+    The design claims exact global-batch membership (sharding.py:219-232):
+    every shard trains on its sub-range of the same global batches, psum
+    reassociates the same per-sample terms.  Frame 1 is before any ring
+    divergence (initial ring entries are identical), so:
+      - the loss must match to fp-reassociation precision,
+      - hash-grid params must match BITWISE (per-entry scatter sums touch
+        few terms; untouched entries get exactly zero gradient),
+      - MLP params to ~1e-4: Adam's first steps are sign-like
+        (update ~ lr * g/(|g|+eps)), amplifying 1e-7-relative gradient
+        reassociation noise on near-zero-gradient weights; measured max
+        abs deviation at this scale is 4.3e-5 (lr 0.01)."""
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer, make_mesh
+    cfg = _cfg()
+    cam = Camera.reference_camera(aspect=2.0)
+    out = {}
+    for n in (1, 4):
+        r = ShardedNrcRenderer(cfg, mesh=make_mesh(n))
+        st = r.step(r.init_state(7), cam, train=True)
+        out[n] = (float(st.nrc.loss),
+                  jax.tree.map(np.asarray, st.nrc.params))
+    loss1, p1 = out[1]
+    loss4, p4 = out[4]
+    assert abs(loss1 - loss4) <= 1e-5 * max(abs(loss1), 1.0), (loss1, loss4)
+    for a, b in zip(jax.tree.leaves(p1["encoding"]),
+                    jax.tree.leaves(p4["encoding"])):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(p1["mlp"]), jax.tree.leaves(p4["mlp"])):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_non_divisible_dims_pad_and_match_single_chip(mesh8):
     """Height 30 over 8 devices (pads to 32 rows) + train batches that
     don't divide the mesh (weight-masked lanes): the cropped sharded frame
