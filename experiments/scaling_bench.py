@@ -15,7 +15,10 @@ Writes output/scaling.json.
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")

@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "studies: reference default 19, TPU-tuned 14)")
     p.add_argument("--n-levels", type=int, default=0,
                    help="override the hash-grid level count (default 16)")
+    p.add_argument("--cache-bootstrap", action="store_true",
+                   help="terminate surviving train paths into the EMA "
+                        "cache (config.train_cache_bootstrap; beyond-"
+                        "reference bias reduction, default off)")
     p.add_argument("--camera-path", default=None,
                    help="JSON camera-path script replayed through the "
                         "reference's camera-controller semantics "
@@ -114,6 +118,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, encoding=dataclasses.replace(cfg.encoding,
                                               n_levels=args.n_levels))
+    if args.cache_bootstrap:
+        cfg = dataclasses.replace(cfg, train_cache_bootstrap=True)
     if args.width or args.height:
         cfg = dataclasses.replace(
             cfg, render_width=args.width or cfg.render_width,

@@ -189,6 +189,15 @@ class AppConfig:
     # matmul-scatter backward (encoding.hash_grid_encode_train).  Only
     # takes effect for rowsweep-sized grids (log2_hashmap_size <= 16).
     hash_train_fast: bool = True
+    # Cache-bootstrapped train targets (beyond-reference, the NRC paper's
+    # own self-training trick): train paths that survive all
+    # train_ray_length bounces terminate INTO the EMA cache — the
+    # prediction at the terminal (pos, dir), scaled by the path
+    # throughput, is added to the target before the 8.0 clamp.  The
+    # reference truncates instead (prep_train_rays.comp:68-99), which is
+    # the measured ~-0.11 steady-state relBias on scene 4 (BASELINE.md).
+    # Default OFF for reference parity.
+    train_cache_bootstrap: bool = False
 
     @staticmethod
     def tpu_tuned(**overrides) -> "AppConfig":

@@ -352,8 +352,13 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
     carry = jax.lax.while_loop(cond, wbody, carry)
     _, point, direction, radiance, factor, scattered, alive, state = carry
 
+    # ``alive``: lanes still inside the volume when the bounce budget ran
+    # out — the truncated-path set whose remaining in-scattered radiance
+    # the reference's 32-bounce train targets silently drop
+    # (prep_train_rays.comp:68-99); exposed for cache bootstrapping.
     return dict(radiance=radiance, throughput=factor, did_scatter=scattered,
-                terminal_pos=point, terminal_dir=direction, state=state)
+                terminal_pos=point, terminal_dir=direction, alive=alive,
+                state=state)
 
 
 def trace_primary(state, vol, lights, p: TraceParams, ro, rd, cfg,

@@ -261,7 +261,16 @@ class ShardedNrcRenderer:
             for _ in range(cfg.train_spp):
                 res = trace_fixed(t_state, vol, lights, self.params,
                                   r_ro, r_rd, cfg.train_ray_length)
-                target = target + res["radiance"]
+                spp_rad = res["radiance"]
+                if cfg.train_cache_bootstrap:
+                    boot_x5 = pack_nrc_inputs(vol, res["terminal_pos"],
+                                              res["terminal_dir"])
+                    boot = jnp.maximum(
+                        self.cache.infer(state.nrc, boot_x5), 0.0)
+                    spp_rad = spp_rad + jnp.where(
+                        res["alive"][..., None],
+                        boot * res["throughput"][..., None], 0.0)
+                target = target + spp_rad
                 t_state = res["state"]
             target = jnp.minimum(target / cfg.train_spp, 8.0)
 

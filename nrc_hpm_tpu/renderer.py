@@ -459,7 +459,20 @@ class NrcRenderer:
             for _ in range(cfg.train_spp):
                 res = trace_fixed(t_state, vol, lights, self.params,
                                   t_ro, t_rd, cfg.train_ray_length)
-                target = target + res["radiance"]
+                spp_rad = res["radiance"]
+                if cfg.train_cache_bootstrap:
+                    # terminate surviving paths into the EMA cache: add
+                    # throughput-scaled prediction at the terminal
+                    # (pos, dir), mirroring the composite's
+                    # nrc * primary.w term (nrc/render.comp:33-37)
+                    boot_x5 = pack_nrc_inputs(vol, res["terminal_pos"],
+                                              res["terminal_dir"])
+                    boot = jnp.maximum(
+                        self.cache.infer(state.nrc, boot_x5), 0.0)
+                    spp_rad = spp_rad + jnp.where(
+                        res["alive"][..., None],
+                        boot * res["throughput"][..., None], 0.0)
+                target = target + spp_rad
                 t_state = res["state"]
             target = target / cfg.train_spp
             # clamp (prep_train_rays.comp:58)

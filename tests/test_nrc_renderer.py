@@ -199,3 +199,34 @@ def test_nrc_quality_converges_below_mse_threshold():
     assert res.mse < 0.04, f"NRC accumulated mse {res.mse}"
     assert res.mse < 0.95 * res0.mse, (res.mse, res0.mse)
     assert abs(res.rel_bias) < 0.1
+
+
+def test_cache_bootstrap_flag_trains_finite_and_default_off():
+    """train_cache_bootstrap (new capability, flag-gated): surviving train
+    paths terminate into the EMA cache.  The flag must (a) leave the
+    default path untouched, (b) produce finite training with the cache
+    prediction folded into targets."""
+    import jax
+    from nrc_hpm_tpu.renderer import NrcRenderer
+    cam = Camera.reference_camera(aspect=2.0)
+
+    # short train rays in the dense preset keep many lanes alive at the
+    # bounce cap, so the bootstrap term is actually exercised
+    cfg_on = _cfg(train_ray_length=2, train_cache_bootstrap=True)
+    r_on = NrcRenderer(cfg_on)
+    st = r_on.init_state(3)
+    for _ in range(2):
+        st = r_on.step(st, cam, train=True)
+    assert np.isfinite(float(st.nrc.loss))
+    assert np.isfinite(np.asarray(st.image)).all()
+    assert int(st.nrc.step) == 2 * cfg_on.train_batch_count
+
+    # flag off matches a renderer built without the field ever set
+    cfg_off = _cfg(train_ray_length=2)
+    r_a = NrcRenderer(cfg_off)
+    sa = r_a.step(r_a.init_state(3), cam, train=True)
+    r_b = NrcRenderer(cfg_off)
+    sb = r_b.step(r_b.init_state(3), cam, train=True)
+    np.testing.assert_array_equal(np.asarray(sa.nrc.params["mlp"]["layers"][0]),
+                                  np.asarray(sb.nrc.params["mlp"]["layers"][0]))
+    del jax
