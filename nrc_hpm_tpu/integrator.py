@@ -67,8 +67,20 @@ class TraceParams:
     # set of at most this fraction (lax.cond dense fallback).  0 disables.
     # The scene (direct-lighting) phase compacts on the post-delta alive
     # set, which is smaller — it gets its own tighter capacity.
+    # Round-4 measurement (experiments/gen_variants.py): the DELTA-phase
+    # compaction is a net LOSS for short primary traces (its row
+    # gathers/scatters run on the same ~126M elem/s scalar path as the
+    # fine take) but a WIN for long train paths whose alive set decays
+    # over 32 bounces — renderers pass primary_params() for gen_rays and
+    # keep the defaults for train/MC paths.
     bounce_compact_frac: float = 0.40
     scene_compact_frac: float = 0.28
+
+    def primary_params(self) -> "TraceParams":
+        """The gen_rays operating point (short paths, ~27% box hits):
+        no delta-phase lane compaction, tighter scene capacity."""
+        return dataclasses.replace(self, bounce_compact_frac=0.0,
+                                   scene_compact_frac=0.24)
 
     @property
     def ratio_track(self):

@@ -209,6 +209,192 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
     return kernel
 
 
+def _make_profile_kernel(C: int, n_rows: int, want_ctrl: bool,
+                         salt_ctrl: int):
+    """Profile-only kernel: the coarse majorant/control sweep of
+    _make_kernel without event generation.  Emits the residual/control
+    total optical depths and (for delta tracking) the CONTROL-stream first
+    collision t, replacing the XLA-side _coarse_profile + _map_events
+    pre-pass that cost ~90 ms per full-width tracking call
+    (transmittance.py round-4 restructure)."""
+
+    def kernel(params, tbl_ref, sx, sy, sz, dx, dy, dz, tmax_ref, seed_ref,
+               rtot_out, ctot_out, tctrl_out, sig_scr, ctl_scr, ccum_scr):
+        inv_skyx, inv_skyy, inv_skyz = params[0], params[1], params[2]
+        mx, my, mz = params[3], params[4], params[5]
+        density_factor = params[9]
+
+        ox, oy, oz = sx[...], sy[...], sz[...]
+        vx, vy, vz = dx[...], dy[...], dz[...]
+        tmax = tmax_ref[...]
+        h = tmax * (1.0 / C)
+
+        def macro_lookup(px, py, pz):
+            cx = (px * inv_skyx + 0.5) * mx
+            cy = (py * inv_skyy + 0.5) * my
+            cz = (pz * inv_skyz + 0.5) * mz
+            in_strict = ((cx >= 0) & (cx < mx) & (cy >= 0) & (cy < my)
+                         & (cz >= 0) & (cz < mz))
+            in_ext = ((cx >= -1) & (cx < mx + 1) & (cy >= -1)
+                      & (cy < my + 1) & (cz >= -1) & (cz < mz + 1))
+            ix = jnp.clip(jnp.floor(cx), 0.0, mx - 1.0)
+            iy = jnp.clip(jnp.floor(cy), 0.0, my - 1.0)
+            iz = jnp.clip(jnp.floor(cz), 0.0, mz - 1.0)
+            lin = (ix * (my * mz) + iy * mz + iz).astype(jnp.int32)
+            r = lin // LANES
+            c = lin % LANES
+            shape = lin.shape
+
+            def srow(row, acc):
+                rowv = jnp.broadcast_to(tbl_ref[pl.ds(row, 1)], shape)
+                picked = jnp.take_along_axis(rowv, c, axis=1)
+                return jnp.where(r == row, picked, acc)
+
+            acc = unrolled_fori(n_rows, srow,
+                                jnp.zeros(shape, jnp.float32), UNROLL)
+            sig, ctl = _unpack_profile(acc)
+            sig = jnp.where(in_ext, sig, 0.0) * density_factor
+            ctl = jnp.where(in_strict, ctl, 0.0) * density_factor
+            return sig, ctl
+
+        p_sig0, p_ctl0 = macro_lookup(ox, oy, oz)
+
+        def prof_body(i, carry):
+            p_sig, p_ctl, ccum, rcum = carry
+            t_i = jnp.asarray(i + 1).astype(jnp.float32) * h
+            nx = ox + t_i * vx
+            ny = oy + t_i * vy
+            nz = oz + t_i * vz
+            n_sig, n_ctl = macro_lookup(nx, ny, nz)
+            sig = jnp.maximum(p_sig, n_sig)
+            ctl = jnp.minimum(jnp.minimum(p_ctl, n_ctl), sig)
+            ctl_scr[pl.ds(i, 1)] = ctl[None]
+            ccum = ccum + ctl * h
+            rcum = rcum + (sig - ctl) * h
+            ccum_scr[pl.ds(i, 1)] = ccum[None]
+            return n_sig, n_ctl, ccum, rcum
+
+        zero = jnp.zeros_like(h)
+        _, _, ccum, rcum = unrolled_fori(
+            C, prof_body, (p_sig0, p_ctl0, zero, zero), UNROLL)
+        rtot_out[...] = rcum
+        ctot_out[...] = ccum
+
+        if want_ctrl:
+            # control collision: one Exp(1) draw inverted through ccum —
+            # bit-identical to the XLA _indexed_draws_lead(seed, 0, 1,
+            # salt_ctrl) + _map_events path (transmittance.delta_track_pw)
+            seed = seed_ref[...]
+            k0 = jnp.zeros(seed.shape, jnp.uint32)
+            E = -jnp.log1p(-_uniform(seed, k0, salt_ctrl))
+
+            def tele(ci, carry):
+                kacc, e_left, c_at, cc_prev = carry
+                cc = ccum_scr[pl.ds(ci, 1)][0]
+                gef = (E >= cc).astype(jnp.float32)
+                kacc = kacc + gef
+                e_left = e_left + gef * (cc - cc_prev)
+                c_at = c_at + gef * (ctl_scr[pl.ds(ci + 1, 1)][0]
+                                     - ctl_scr[pl.ds(ci, 1)][0])
+                return kacc, e_left, c_at, cc
+
+            kacc, e_left, c_at, _ = unrolled_fori(
+                C - 1, tele,
+                (jnp.zeros_like(E), jnp.zeros_like(E), ctl_scr[0],
+                 jnp.zeros_like(E)), UNROLL)
+            beyond = E >= ccum
+            rate_h = jnp.maximum(c_at * h, 1e-20)
+            t = kacc * h + (E - e_left) * h / rate_h
+            tctrl_out[...] = jnp.where(beyond, jnp.float32(3.0e38), t)
+        else:
+            tctrl_out[...] = jnp.full_like(h, 3.0e38)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "n_rows", "want_ctrl",
+                                    "salt_ctrl", "interpret"))
+def _pw_profile_call(params, tbl, sx, sy, sz, dx, dy, dz, tmax, seed, *,
+                     C: int, n_rows: int, want_ctrl: bool, salt_ctrl: int,
+                     interpret: bool = False):
+    nr = tmax.shape[0]
+    grid = (nr // ROWS,)
+
+    def lane(g):
+        return (g, 0)
+
+    vm = pltpu.VMEM
+    lane_in = pl.BlockSpec((ROWS, LANES), lane, memory_space=vm)
+    lane_out = pl.BlockSpec((ROWS, LANES), lane, memory_space=vm)
+    return pl.pallas_call(
+        _make_profile_kernel(C, n_rows, want_ctrl, salt_ctrl),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec((n_rows, LANES), lambda g: (0, 0),
+                         memory_space=vm),           # macro table
+        ] + [lane_in] * 8,
+        out_shape=(
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),  # rtot
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),  # ctot
+            jax.ShapeDtypeStruct((nr, LANES), jnp.float32),  # t_ctrl
+        ),
+        out_specs=(lane_out, lane_out, lane_out),
+        scratch_shapes=[
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # sig_scr (unused)
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ctl_scr
+            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ccum_scr
+        ],
+        interpret=interpret,
+    )(params, tbl, sx, sy, sz, dx, dy, dz, tmax, seed)
+
+
+def pw_profile(vol, start, direction, tmax, seed, C: int = 32,
+               want_ctrl: bool = False, salt_ctrl: int = 0x165667B1,
+               interpret: bool = False):
+    """Fused coarse-profile totals for one tracking call.
+
+    start/direction: (N, 3); tmax/seed(u32): (N,).  Returns dict with
+    rtot/ctot (N,) and (want_ctrl) t_ctrl (N,) — the control-stream first
+    collision distance, 3e38 when the control draw lands beyond the
+    segment."""
+    assert C == 32, "scratch shapes are sized for C == 32"
+    n = tmax.shape[0]
+    pad = (-n) % (ROWS * LANES)
+
+    def lanes2d(a):
+        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
+        return a.reshape(-1, LANES) if a.ndim == 1 else a
+
+    mx, my, mz = vol.macro_dims
+    X, Y, Z = vol.dims
+    sky = vol.sky_size
+    params = jnp.concatenate([
+        1.0 / sky, jnp.asarray([mx, my, mz, X, Y, Z], jnp.float32),
+        vol.density_factor[None], sky, jnp.zeros((3,), jnp.float32)])
+    n_rows = -(-vol.macro_packed.shape[0] // LANES)
+    tbl = jnp.pad(vol.macro_packed,
+                  (0, n_rows * LANES - vol.macro_packed.shape[0]))
+    tbl = jax.lax.bitcast_convert_type(
+        tbl.reshape(n_rows, LANES), jnp.float32)
+
+    rtot, ctot, t_ctrl = _pw_profile_call(
+        params, tbl,
+        lanes2d(start[:, 0]), lanes2d(start[:, 1]), lanes2d(start[:, 2]),
+        lanes2d(direction[:, 0]), lanes2d(direction[:, 1]),
+        lanes2d(direction[:, 2]),
+        lanes2d(tmax), lanes2d(seed.astype(jnp.uint32)),
+        C=C, n_rows=n_rows, want_ctrl=want_ctrl, salt_ctrl=salt_ctrl,
+        interpret=interpret)
+
+    def unlanes(a):
+        return a.reshape(-1)[:n]
+
+    return dict(rtot=unlanes(rtot), ctot=unlanes(ctot),
+                t_ctrl=unlanes(t_ctrl))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("C", "S", "n_rows", "salt",
                                     "interpret"))

@@ -347,6 +347,9 @@ class NrcRenderer:
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
                                   max_track_steps=cfg.max_track_steps)
+        # gen_rays runs the primary operating point (no delta-phase lane
+        # compaction — a measured net loss for short ~27%-hit traces)
+        self.primary_params = self.params.primary_params()
         self.cache = NeuralRadianceCache(cfg)
         self.show_nrc = show_nrc
         self.blend = blend
@@ -397,11 +400,12 @@ class NrcRenderer:
         flat_ro = jnp.broadcast_to(ro, flat_rd.shape)
         if cfg.compact:
             prim = primary_pass_compact(
-                rng_state.reshape(n_pix), vol, lights, self.params, cfg,
-                flat_ro, flat_rd, chunks=cfg.trace_chunks)
+                rng_state.reshape(n_pix), vol, lights, self.primary_params,
+                cfg, flat_ro, flat_rd, chunks=cfg.trace_chunks)
         else:
             prim = _map_chunks(
-                lambda s, o, d: primary_pass(s, vol, lights, self.params,
+                lambda s, o, d: primary_pass(s, vol, lights,
+                                             self.primary_params,
                                              cfg, o, d),
                 cfg.trace_chunks, rng_state.reshape(n_pix), flat_ro,
                 flat_rd)

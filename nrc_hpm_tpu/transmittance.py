@@ -295,8 +295,12 @@ COMPACT_MIN_LANES = 32768
 # Two stages, not three: every additional cond stage traces+compiles two
 # more full tracking bodies per call site — the third stage cost ~60 s of
 # 1080p compile for a ~2% runtime gain (experiments/compile_bisect.py).
-RATIO_PLAN = ((None, 8, 16), (0.08, 8, None))
-DELTA_PLAN = ((0.55, 8, 16), (0.10, 8, None))
+# Round-4 retune (experiments/gen_variants.py): delta stage-0 capacity
+# 0.55 -> 0.30 (primary rays hit the box at only ~27%, so 0.55 doubled
+# every stage-0 take/kernel) and 16-event tail segments (half the while
+# iterations on the unresolved tail): 1080p gen_rays 1886 -> 1744 ms.
+RATIO_PLAN = ((None, 8, 16), (0.08, 16, None))
+DELTA_PLAN = ((0.30, 8, 16), (0.10, 16, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,
@@ -433,6 +437,16 @@ def _ratio_rr(seed, i, trans, e_new, rtot, rr_eps):
     return trans, e_new
 
 
+def _profile_totals(vol, start, direction, tmax, seed, want_ctrl=False):
+    """Coarse-profile totals (rtot, ctot[, t_ctrl]) via the fused Pallas
+    profile kernel (ops/pw_kernels.pw_profile).  Only valid on the
+    kernel path (_use_event_kernel); the XLA path needs the full
+    per-interval arrays anyway and keeps _coarse_profile."""
+    from .ops.pw_kernels import pw_profile
+    return pw_profile(vol, start, direction, tmax, seed,
+                      want_ctrl=want_ctrl)
+
+
 def _make_ratio_body_kernel(vol, seed, start, direction, tmax,
                             segment: int, rr_eps: float = RR_EPS):
     """Kernel-served ratio segment: ops/pw_kernels.pw_events fuses the
@@ -462,13 +476,19 @@ def _make_ratio_body_kernel(vol, seed, start, direction, tmax,
 
 
 def _make_ratio_body(vol, seed, start, direction, c, sigma, rcum, h,
-                     segment: int, rtot=None, rr_eps: float = RR_EPS):
+                     segment: int, rtot=None, rr_eps: float = RR_EPS,
+                     tmax=None):
     """One ratio-tracking segment: draw ``segment`` Exp(1) event depths,
     invert through rcum, gather fine density, fold residual factors.
     With ``rtot`` given, applies Russian roulette after the fold (lanes
     killed by RR mark themselves resolved by pushing e_last past rtot).
 
-    On TPU the body is the fused Pallas event kernel."""
+    On TPU the body is the fused Pallas event kernel; kernel-path callers
+    pass ``tmax`` and may pass rcum=None (the kernel rebuilds the profile
+    in VMEM — the XLA per-interval arrays are never materialized)."""
+    if tmax is not None and rtot is not None:
+        return _make_ratio_body_kernel(vol, seed, start, direction, tmax,
+                                       segment, rr_eps)
     if _use_event_kernel(rcum.shape[0]) and rtot is not None:
         C = rcum.shape[0]
         tmax = h * C
@@ -533,10 +553,18 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
     if active is not None:
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
-    sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction, tmax,
-                                              coarse)
-    rtot = rcum[-1]
-    ctot = ccum[-1]
+    kernel_mode = _use_event_kernel(coarse)
+    if kernel_mode:
+        # profile totals from the fused kernel; per-interval arrays are
+        # never materialized (the event kernel re-profiles in VMEM)
+        prof = _profile_totals(vol, start, direction, tmax, seed)
+        rtot, ctot = prof["rtot"], prof["ctot"]
+        sigma = c = rcum = h = None
+    else:
+        sigma, c, ccum, rcum, h = _coarse_profile(vol, start, direction,
+                                                  tmax, coarse)
+        rtot = rcum[-1]
+        ctot = ccum[-1]
     n = tmax.shape[0]
 
     t0 = jnp.zeros_like(tmax)
@@ -556,9 +584,11 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
         trans0 = jnp.where(small0,
                            jnp.where(survive0, RR_EPS, 0.0), trans0)
 
+    kern_tmax = tmax if kernel_mode else None
     if not compact or n < COMPACT_MIN_LANES:
         body = _make_ratio_body(vol, seed, start, direction, c, sigma,
-                                rcum, h, segment, rtot=rtot)
+                                rcum, h, segment, rtot=rtot,
+                                tmax=kern_tmax)
         _, e_last, trans = _run_segments(body, rtot, 0, max_steps, t0,
                                          trans0)
         return trans, state
@@ -573,7 +603,8 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
             break
         if frac is None:
             body = _make_ratio_body(vol, seed, start, direction, c, sigma,
-                                    rcum, h, seg_len, rtot=rtot)
+                                    rcum, h, seg_len, rtot=rtot,
+                                    tmax=kern_tmax)
             e_base, e_last, trans = _run_segments(body, rtot, e_base, e1,
                                                   e_last, trans)
             e0 = e1
@@ -585,13 +616,20 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
 
         def compact_branch(args, e1=e1, idx=idx, seg_len=seg_len):
             e_base, e_last, trans = args
-            seed_c, tmax_c, e_c, tr_c, start_c, dir_c = _take(
-                idx, seed, tmax, e_last, trans, start, direction)
-            sg, cc, _, rc, hh = _coarse_profile(vol, start_c, dir_c, tmax_c,
-                                                coarse)
-            body_c = _make_ratio_body(vol, seed_c, start_c, dir_c, cc, sg,
-                                      rc, hh, seg_len, rtot=rc[-1])
-            e_base, e_c, tr_c = _run_segments(body_c, rc[-1], e_base, e1,
+            seed_c, tmax_c, e_c, tr_c, start_c, dir_c, rtot_c = _take(
+                idx, seed, tmax, e_last, trans, start, direction, rtot)
+            if kernel_mode:
+                # rtot gathered from the kernel profile — no re-profile
+                body_c = _make_ratio_body(vol, seed_c, start_c, dir_c,
+                                          None, None, None, None, seg_len,
+                                          rtot=rtot_c, tmax=tmax_c)
+            else:
+                sg, cc, _, rc, hh = _coarse_profile(vol, start_c, dir_c,
+                                                    tmax_c, coarse)
+                rtot_c = rc[-1]
+                body_c = _make_ratio_body(vol, seed_c, start_c, dir_c, cc,
+                                          sg, rc, hh, seg_len, rtot=rtot_c)
+            e_base, e_c, tr_c = _run_segments(body_c, rtot_c, e_base, e1,
                                               e_c, tr_c)
             return (e_base, e_last.at[idx].set(e_c, mode="drop"),
                     trans.at[idx].set(tr_c, mode="drop"))
@@ -599,7 +637,8 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
         def dense_branch(args, e1=e1, seg_len=seg_len):
             e_base, e_last, trans = args
             body = _make_ratio_body(vol, seed, start, direction, c, sigma,
-                                    rcum, h, seg_len, rtot=rtot)
+                                    rcum, h, seg_len, rtot=rtot,
+                                    tmax=kern_tmax)
             return _run_segments(body, rtot, e_base, e1, e_last, trans)
 
         e_base, e_last, trans = jax.lax.cond(
@@ -646,10 +685,14 @@ def _make_delta_body_kernel(vol, seed, ro, rd, tmax, segment: int):
     return body
 
 
-def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int):
+def _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h, segment: int,
+                     tmax=None):
     """One delta-tracking segment over the residual stream: draw events,
     invert to positions, gather fine density, resolve accept/cross.
-    On TPU the body is the fused Pallas event kernel."""
+    On TPU the body is the fused Pallas event kernel; kernel-path callers
+    pass ``tmax`` with rcum=None (profile lives in VMEM only)."""
+    if tmax is not None:
+        return _make_delta_body_kernel(vol, seed, ro, rd, tmax, segment)
     if _use_event_kernel(rcum.shape[0]):
         return _make_delta_body_kernel(vol, seed, ro, rd, h * rcum.shape[0],
                                        segment)
@@ -715,16 +758,30 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     if active is not None:
         tmax = jnp.where(active, tmax, 0.0)
     seed, state = _track_seed(state)
-    sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax, coarse)
-    ctot = ccum[-1]
+    kernel_mode = _use_event_kernel(coarse)
     n = tmax.shape[0]
+    if kernel_mode:
+        # profile totals + control collision fused in ONE kernel call
+        # (bit-identical control draw: same salt/index as the XLA path)
+        prof = _profile_totals(vol, ro, rd, tmax, seed, want_ctrl=True)
+        rtot = prof["rtot"]
+        t_ctrl_raw = prof["t_ctrl"]
+        ctrl_hit = t_ctrl_raw < 1.0e37
+        t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw, jnp.inf)
+        sigma = c = rcum = h = None
+    else:
+        sigma, c, ccum, rcum, h = _coarse_profile(vol, ro, rd, tmax,
+                                                  coarse)
+        ctot = ccum[-1]
+        rtot = rcum[-1]
 
-    # control collision: one Exp(1) draw inverted through ccum
-    e_ctrl = -jnp.log1p(-_indexed_draws_lead(
-        seed, jnp.uint32(0), 1, salt=0x165667B1)[0])
-    t_ctrl_raw, ctrl_beyond, _ = _map_events(e_ctrl[None, :], ccum, h, ())
-    ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
-    t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
+        # control collision: one Exp(1) draw inverted through ccum
+        e_ctrl = -jnp.log1p(-_indexed_draws_lead(
+            seed, jnp.uint32(0), 1, salt=0x165667B1)[0])
+        t_ctrl_raw, ctrl_beyond, _ = _map_events(e_ctrl[None, :], ccum, h,
+                                                 ())
+        ctrl_hit = (~ctrl_beyond[0]) & (e_ctrl < ctot)
+        t_ctrl = jnp.where(ctrl_hit, t_ctrl_raw[0], jnp.inf)
 
     f0 = jnp.zeros(tmax.shape, bool)
     t0 = jnp.zeros_like(tmax)
@@ -732,12 +789,13 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     # lanes with zero residual depth resolve analytically: their first
     # event is necessarily beyond rtot (crossed), no fine gathers needed —
     # this makes the stage-0 compaction skip them entirely
-    empty = rcum[-1] <= 0.0
+    empty = rtot <= 0.0
     carry = (t0, empty, f0, empty, inf0)  # e_last, resolved, hit, crossed, t_res
 
+    kern_tmax = tmax if kernel_mode else None
     if not compact or n < COMPACT_MIN_LANES:
         body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum, h,
-                                segment)
+                                segment, tmax=kern_tmax)
         carry = _run_delta_segments(body, 0, max_steps, carry)[1:]
     else:
         e_base = jnp.int32(0)
@@ -749,7 +807,7 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                 break
             if frac is None:
                 body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum,
-                                        h, seg_len)
+                                        h, seg_len, tmax=kern_tmax)
                 out = _run_delta_segments(body, e_base, e1, carry)
                 e_base, carry = out[0], tuple(out[1:])
                 e0 = e1
@@ -765,10 +823,15 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                 cc = _take(idx, *carry)
                 # fill lanes must not run: mark them resolved
                 cc[1] = cc[1] | (idx >= n)
-                sg, ct, _, rc, hh = _coarse_profile(vol, ro_c, rd_c, tmax_c,
-                                                    coarse)
-                body_c = _make_delta_body(vol, seed_c, ro_c, rd_c, ct, sg,
-                                          rc, hh, seg_len)
+                if kernel_mode:
+                    body_c = _make_delta_body(vol, seed_c, ro_c, rd_c,
+                                              None, None, None, None,
+                                              seg_len, tmax=tmax_c)
+                else:
+                    sg, ct, _, rc, hh = _coarse_profile(vol, ro_c, rd_c,
+                                                        tmax_c, coarse)
+                    body_c = _make_delta_body(vol, seed_c, ro_c, rd_c, ct,
+                                              sg, rc, hh, seg_len)
                 out = _run_delta_segments(body_c, e_base, e1, tuple(cc))
                 return (out[0],) + tuple(
                     a.at[idx].set(o, mode="drop")
@@ -777,7 +840,7 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
             def dense_branch(args, e1=e1, seg_len=seg_len):
                 e_base, carry = args[0], args[1:]
                 body = _make_delta_body(vol, seed, ro, rd, c, sigma, rcum,
-                                        h, seg_len)
+                                        h, seg_len, tmax=kern_tmax)
                 return _run_delta_segments(body, e_base, e1, carry)
 
             out = jax.lax.cond(count <= cap, compact_branch, dense_branch,

@@ -84,3 +84,31 @@ def test_pw_events_e_base_continues_stream(small_volume):
     E = jnp.cumsum(-jnp.log1p(-u), axis=0)
     np.testing.assert_allclose(np.asarray(ev1["e_new"]), np.asarray(E[-1]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pw_profile_matches_xla_profile_and_control(small_volume):
+    """pw_profile (round-4 profile-only kernel): rtot/ctot match the XLA
+    coarse profile and t_ctrl matches the XLA control-draw inversion."""
+    from nrc_hpm_tpu.ops.pw_kernels import pw_profile
+
+    vol, start, d, tmax, seed_u = _setup(small_volume, seed=5)
+    prof = pw_profile(vol, start, d, tmax, seed_u, want_ctrl=True,
+                      interpret=True)
+
+    sigma, c, ccum, rcum, h = tr._coarse_profile(vol, start, d, tmax, 32)
+    np.testing.assert_allclose(np.asarray(prof["rtot"]),
+                               np.asarray(rcum[-1]), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(prof["ctot"]),
+                               np.asarray(ccum[-1]), rtol=2e-5, atol=1e-6)
+
+    # control collision: same draw (salt 0x165667B1, index 0) inverted
+    # through ccum
+    e_ctrl = -jnp.log1p(-tr._indexed_draws_lead(
+        seed_u, jnp.uint32(0), 1, salt=0x165667B1)[0])
+    t_ref, beyond_ref, _ = tr._map_events(e_ctrl[None, :], ccum, h, ())
+    ctrl_hit_ref = (~beyond_ref[0]) & (e_ctrl < ccum[-1])
+    t_k = np.asarray(prof["t_ctrl"])
+    hit_k = t_k < 1.0e37
+    np.testing.assert_array_equal(hit_k, np.asarray(ctrl_hit_ref))
+    np.testing.assert_allclose(t_k[hit_k], np.asarray(t_ref[0])[hit_k],
+                               rtol=1e-4, atol=1e-5)
