@@ -197,7 +197,11 @@ def test_nrc_quality_converges_below_mse_threshold():
 
     assert np.isfinite(res.mse) and np.isfinite(res1.mse)
     assert res.mse < 0.04, f"NRC accumulated mse {res.mse}"
-    assert res.mse < 0.95 * res0.mse, (res.mse, res0.mse)
+    # measured ratio at this protocol is 0.89 (gate_fixedkey_probe); the
+    # fixed compare key makes the trajectory deterministic, so 0.92 keeps
+    # ~3 points of slack while failing a cache that learned little
+    # (round-3 VERDICT flagged the old 0.95 bar as near-vacuous)
+    assert res.mse < 0.92 * res0.mse, (res.mse, res0.mse)
     assert abs(res.rel_bias) < 0.1
 
 
