@@ -68,6 +68,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "studies: reference default 19, TPU-tuned 14)")
     p.add_argument("--n-levels", type=int, default=0,
                    help="override the hash-grid level count (default 16)")
+    p.add_argument("--env-fixed16", action="store_true",
+                   help="golden-era env transmittance: 16-step "
+                        "GetTransmittance for the env in-scatter term, "
+                        "matching how the upstream goldens were generated "
+                        "(config.env_fixed16; path_trace.glsl:100)")
     p.add_argument("--cache-bootstrap", action="store_true",
                    help="terminate surviving train paths into the EMA "
                         "cache (config.train_cache_bootstrap; beyond-"
@@ -120,6 +125,8 @@ def main(argv=None) -> int:
                                               n_levels=args.n_levels))
     if args.cache_bootstrap:
         cfg = dataclasses.replace(cfg, train_cache_bootstrap=True)
+    if args.env_fixed16:
+        cfg = dataclasses.replace(cfg, env_fixed16=True)
     if args.width or args.height:
         cfg = dataclasses.replace(
             cfg, render_width=args.width or cfg.render_width,

@@ -189,6 +189,12 @@ class AppConfig:
     # matmul-scatter backward (encoding.hash_grid_encode_train).  Only
     # takes effect for rowsweep-sized grids (log2_hashmap_size <= 16).
     hash_train_fast: bool = True
+    # Golden-era env transmittance (see integrator.TraceParams.env_fixed16):
+    # the upstream checked-in goldens were generated with the now-commented
+    # GetTransmittance(pos, exit, 16) env estimator (path_trace.glsl:100)
+    # rather than the current RatioTrack line; True replicates that for
+    # golden-comparable renders of the env-lit presets (4/5).
+    env_fixed16: bool = False
     # Cache-bootstrapped train targets (beyond-reference, the NRC paper's
     # own self-training trick): train paths that survive all
     # train_ray_length bounces terminate INTO the EMA cache — the

@@ -75,6 +75,16 @@ class TraceParams:
     # keep the defaults for train/MC paths.
     bounce_compact_frac: float = 0.40
     scene_compact_frac: float = 0.28
+    # Golden-era env transmittance: the reference's CURRENT shader ratio-
+    # tracks the env shadow segment (path_trace.glsl:104), but its checked-
+    # in goldens were generated with the now-commented
+    # ``GetTransmittance(pos, exit, 16)`` line directly above it
+    # (path_trace.glsl:100): against reference/5/0.exr our MC measures
+    # relBias +0.137 with ratio tracking and -0.015 with fixed-16 steps
+    # (96x54/48-frame protocol, /tmp probe recorded in BASELINE.md), while
+    # the dir-light-only goldens match ratio tracking.  True => replicate
+    # the golden-era estimator for the env in-scatter term.
+    env_fixed16: bool = False
 
     def primary_params(self) -> "TraceParams":
         """The gen_rays operating point (short paths, ~27% box hits):
@@ -179,21 +189,32 @@ def trace_scene(state, vol: Volume, lights: Lights, p: TraceParams,
         phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
         _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
         env = sample_env_map(lights.env, rand_dir)
-        segs.append((pos, exit_pt,
-                     lambda trans, ph=phase, env=env:
-                     env * (ph * trans)[..., None]))
+        if p.env_fixed16:
+            from .transmittance import fixed_step_transmittance
+            trans = fixed_step_transmittance(vol, pos, exit_pt, 16)
+            total = total + env * (phase * trans)[..., None]
+        else:
+            segs.append((pos, exit_pt,
+                         lambda trans, ph=phase, env=env:
+                         env * (ph * trans)[..., None]))
     elif env_sample:
         # SampleHdrEnvMap(pos, dir, 1) (path_trace.glsl:88-131): one
         # random direction from the reference's uniform-in-polar-angle
-        # sampler, phase-weighted, ratio-tracked to the box exit.
+        # sampler, phase-weighted, ratio-tracked to the box exit (or the
+        # golden-era 16-step estimator under env_fixed16).
         rand_dir, state = new_ray_dir(state, direction, vol.g,
                                       phase_sampling=False, active=active)
         phase = hg_phase(jnp.sum(rand_dir * -direction, axis=-1), vol.g)
         _, exit_pt, _ = find_entry_exit(vol, pos, rand_dir)
         env = sample_env_map(lights.env, rand_dir)
-        segs.append((pos, exit_pt,
-                     lambda trans, ph=phase, env=env:
-                     env * (ph * trans)[..., None]))
+        if p.env_fixed16:
+            from .transmittance import fixed_step_transmittance
+            trans = fixed_step_transmittance(vol, pos, exit_pt, 16)
+            total = total + env * (phase * trans)[..., None]
+        else:
+            segs.append((pos, exit_pt,
+                         lambda trans, ph=phase, env=env:
+                         env * (ph * trans)[..., None]))
 
     if len(segs) > 1 and p.mode in ("pw", "fast") and pos.ndim == 2:
         # One batched tracking call over all shadow segments.  The k-th

@@ -88,7 +88,8 @@ class RestirRenderer:
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
-                                  max_track_steps=cfg.max_track_steps)
+                                  max_track_steps=cfg.max_track_steps,
+                                  env_fixed16=cfg.env_fixed16)
         self.n_vertices = cfg.restir.path_vertex_count
         self.spatial_kernel = cfg.restir.spatial_kernel_size
         self.temporal_kernel = cfg.restir.temporal_kernel_size

@@ -80,7 +80,8 @@ class ShardedNrcRenderer:
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
-                                  max_track_steps=cfg.max_track_steps)
+                                  max_track_steps=cfg.max_track_steps,
+                                  env_fixed16=cfg.env_fixed16)
         self.cache = NeuralRadianceCache(cfg)
         self.show_nrc = show_nrc
         self.blend = blend

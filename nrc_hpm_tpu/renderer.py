@@ -68,7 +68,8 @@ class McRenderer:
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
-                                  max_track_steps=cfg.max_track_steps)
+                                  max_track_steps=cfg.max_track_steps,
+                                  env_fixed16=cfg.env_fixed16)
         inner = partial(
             _mc_step, params=self.params, width=self.width,
             height=self.height, path_length=self.path_length,
@@ -346,7 +347,8 @@ class NrcRenderer:
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
-                                  max_track_steps=cfg.max_track_steps)
+                                  max_track_steps=cfg.max_track_steps,
+                                  env_fixed16=cfg.env_fixed16)
         # gen_rays runs the primary operating point (no delta-phase lane
         # compaction — a measured net loss for short ~27%-hit traces)
         self.primary_params = self.params.primary_params()

@@ -134,3 +134,51 @@ def test_single_scatter_point_light_oracle():
     # transmittance estimate; the MC std of the mean here is ~2e-3, so
     # allow a 3-sigma band (both sides use fixed seeds: deterministic)
     assert abs(got - expect) < 0.006
+
+
+def test_env_fixed16_flag_changes_env_term_only(small_volume):
+    """env_fixed16 (golden-era env transmittance, TraceParams.env_fixed16):
+    swaps the env in-scatter shadow estimator from ratio tracking to the
+    16-step GetTransmittance the upstream goldens were generated with
+    (path_trace.glsl:100, commented).  With only the env light enabled the
+    flag must change the scene lighting; with env off it must be a no-op."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nrc_hpm_tpu.integrator import TraceParams, trace_scene
+    from nrc_hpm_tpu.lights import LightFlags, Lights, lights_from_scene
+    from nrc_hpm_tpu.config import SceneConfig
+    from nrc_hpm_tpu.utils import rng
+
+    vol = small_volume
+    lights = lights_from_scene(SceneConfig.preset(5))
+    n = 64
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n, 3), minval=-2.0, maxval=2.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    state = rng.init_state(
+        jax.random.uniform(jax.random.PRNGKey(2), (n, 2)),
+        jnp.array([0.1, 0.2, 0.3, 0.4]))
+    flags = LightFlags(dir_on=False, point_on=False, env_on=True)
+    active = jnp.ones((n,), bool)
+
+    p = TraceParams(flags=flags, max_track_steps=32)
+    base, _ = trace_scene(state, vol, lights, p, pos, d, active)
+    fixed, _ = trace_scene(state, vol, lights,
+                           dataclasses.replace(p, env_fixed16=True),
+                           pos, d, active)
+    import numpy as np
+    assert np.isfinite(np.asarray(fixed)).all()
+    # same random env direction per lane, different transmittance estimator
+    assert float(jnp.abs(base - fixed).max()) > 0.0
+
+    flags_off = LightFlags(dir_on=True, point_on=False, env_on=False)
+    p2 = TraceParams(flags=flags_off, max_track_steps=32)
+    a, _ = trace_scene(state, vol, lights, p2, pos, d, active)
+    b, _ = trace_scene(state, vol, lights,
+                       dataclasses.replace(p2, env_fixed16=True),
+                       pos, d, active)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
