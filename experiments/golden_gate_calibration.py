@@ -41,8 +41,14 @@ SEEDS = range(1, 11)
 
 
 def main():
+    # optional scene list via argv (recalibrate only regenerated goldens);
+    # results merge into the existing JSON
+    scenes = [int(a) for a in sys.argv[1:]] or list(range(6))
+    path = "experiments/output/golden_gate_calibration.json"
     out = {}
-    for scene_id in range(6):
+    if os.path.exists(path) and len(scenes) < 6:
+        out = json.load(open(path))
+    for scene_id in scenes:
         golden = GoldenReference.load(
             scene_id, search_paths=("reference",), names=("low.exr",))
         valid = golden.image[..., 3] != 0
@@ -72,7 +78,6 @@ def main():
               f"std {arr.std():.4f} range [{arr.min():+.4f}, "
               f"{arr.max():+.4f}]", flush=True)
     os.makedirs("experiments/output", exist_ok=True)
-    path = "experiments/output/golden_gate_calibration.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -37,6 +37,14 @@ def mse(a, b):
                          ** 2))
 
 
+def sync(state):
+    """REAL device sync: the axon tunnel acks block_until_ready before
+    device execution finishes (round-3 finding, bench.py:sync); only a
+    data-dependent scalar fetch is a trustworthy barrier."""
+    import jax.numpy as jnp
+    return float(jnp.sum(state.image))
+
+
 def main():
     cfg = AppConfig(scene=SceneConfig.preset(4), render_width=W,
                     render_height=H, mc_path_length=32,
@@ -56,10 +64,11 @@ def main():
     print(f"restir compile+first: {out['restir_compile_plus_first_frame_s']}s",
           flush=True)
 
+    sync(state)
     t0 = time.time()
     for _ in range(FRAMES - 1):
         state = r.step(state, cam)
-    jax.block_until_ready(state.image)
+    sync(state)
     dt = (time.time() - t0) / (FRAMES - 1)
     out["restir_ms_per_frame"] = round(dt * 1000, 1)
     print(f"restir: {dt*1000:.1f} ms/frame", flush=True)
@@ -69,12 +78,12 @@ def main():
     mst = mc.init_state(1)
     t0 = time.time()
     mst = mc.step(mst, cam)
-    jax.block_until_ready(mst.image)
+    sync(mst)
     out["mc_compile_plus_first_frame_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     for _ in range(FRAMES - 1):
         mst = mc.step(mst, cam)
-    jax.block_until_ready(mst.image)
+    sync(mst)
     out["mc_ms_per_frame"] = round((time.time() - t0) / (FRAMES - 1) * 1000,
                                    1)
     print(f"mc32: {out['mc_ms_per_frame']} ms/frame", flush=True)
