@@ -284,6 +284,7 @@ def _levels_table_u32(packed: jax.Array, spec: HashGridSpec) -> jax.Array:
     L = spec.n_levels
     offs = spec.level_offsets
     rmax = -(-max(spec.level_params(l) for l in range(L)) // 128)
+    rmax = -(-rmax // 8) * 8   # 8-row tiles: the sweep reads 8-row slices
     lvls = []
     for l in range(L):
         t = packed[offs[l]:offs[l + 1]]

@@ -112,14 +112,18 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             c = lin % LANES
             shape = lin.shape
 
-            def srow(row, acc):
-                # dynamic row read from the VMEM ref (Mosaic lowers ref
-                # slices; lax.dynamic_slice on a loaded array does not)
-                rowv = jnp.broadcast_to(tbl_ref[pl.ds(row, 1)], shape)
-                picked = jnp.take_along_axis(rowv, c, axis=1)
-                return jnp.where(r == row, picked, acc)
+            def srow8(t, acc):
+                # 8-row tile per trip, static indexing inside: dynamic
+                # single-row slices dominated the sweep (see
+                # ops/fused_encode_mlp.py body8 / fused_kernel_decomp)
+                tile = tbl_ref[pl.ds(t * 8, 8)]
+                for k in range(8):
+                    rowv = jnp.broadcast_to(tile[k:k + 1], shape)
+                    picked = jnp.take_along_axis(rowv, c, axis=1)
+                    acc = jnp.where(r == t * 8 + k, picked, acc)
+                return acc
 
-            acc = unrolled_fori(n_rows, srow,
+            acc = unrolled_fori(-(-n_rows // 8), srow8,
                                 jnp.zeros(shape, jnp.float32), UNROLL)
             sig, ctl = _unpack_profile(acc)
             sig = jnp.where(in_ext, sig, 0.0) * density_factor
@@ -146,6 +150,9 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             return n_sig, n_ctl, ccum, rcum
 
         zero = jnp.zeros_like(h)
+        # rows [C, C+8): read by the last tele8 tile (ci+1 at ci = C-1)
+        sig_scr[pl.ds(C, 8)] = jnp.zeros((8,) + h.shape, jnp.float32)
+        ctl_scr[pl.ds(C, 8)] = jnp.zeros((8,) + h.shape, jnp.float32)
         _, _, ccum, rcum = unrolled_fori(
             C, prof_body, (p_sig0, p_ctl0, zero, zero), UNROLL)
         rtot_out[...] = rcum
@@ -161,21 +168,29 @@ def _make_kernel(C: int, S: int, n_rows: int, salt: int):
             u = _uniform(seed, k, salt)
             E = E - jnp.log1p(-u)
 
-            # telescoping inversion over the C intervals
-            def tele(ci, carry):
+            # telescoping inversion over the C intervals, 8-row tiles:
+            # the per-interval form issued 31 x 5 dynamic scratch slices
+            # per event; tiles make it 4 x 3.  The extra ci = C-1 step
+            # only fires for beyond-events (gef = [E >= rcum total]),
+            # whose t/c_at/sres outputs are masked by the callers; the
+            # zero-filled rows past C keep its arithmetic finite.
+            def tele8(t, carry):
                 kacc, e_left, c_at, sig_at, r_prev = carry
-                rc = rcum_scr[pl.ds(ci, 1)][0]
-                gef = (E >= rc).astype(jnp.float32)
-                kacc = kacc + gef
-                e_left = e_left + gef * (rc - r_prev)
-                c_at = c_at + gef * (ctl_scr[pl.ds(ci + 1, 1)][0]
-                                     - ctl_scr[pl.ds(ci, 1)][0])
-                sig_at = sig_at + gef * (sig_scr[pl.ds(ci + 1, 1)][0]
-                                         - sig_scr[pl.ds(ci, 1)][0])
-                return kacc, e_left, c_at, sig_at, rc
+                rc_t = rcum_scr[pl.ds(t * 8, 8)]
+                ctl9 = ctl_scr[pl.ds(t * 8, 9)]
+                sig9 = sig_scr[pl.ds(t * 8, 9)]
+                for kk in range(8):
+                    rc = rc_t[kk]
+                    gef = (E >= rc).astype(jnp.float32)
+                    kacc = kacc + gef
+                    e_left = e_left + gef * (rc - r_prev)
+                    c_at = c_at + gef * (ctl9[kk + 1] - ctl9[kk])
+                    sig_at = sig_at + gef * (sig9[kk + 1] - sig9[kk])
+                    r_prev = rc
+                return kacc, e_left, c_at, sig_at, r_prev
 
             kacc, e_left, c_at, sig_at, _ = unrolled_fori(
-                C - 1, tele,
+                C // 8, tele8,
                 (jnp.zeros_like(E), jnp.zeros_like(E), ctl_scr[0],
                  sig_scr[0], jnp.zeros_like(E)), UNROLL)
             beyond = E >= rcum
@@ -245,12 +260,16 @@ def _make_profile_kernel(C: int, n_rows: int, want_ctrl: bool,
             c = lin % LANES
             shape = lin.shape
 
-            def srow(row, acc):
-                rowv = jnp.broadcast_to(tbl_ref[pl.ds(row, 1)], shape)
-                picked = jnp.take_along_axis(rowv, c, axis=1)
-                return jnp.where(r == row, picked, acc)
+            def srow8(t, acc):
+                # 8-row tiles (see the event kernel's srow8)
+                tile = tbl_ref[pl.ds(t * 8, 8)]
+                for k in range(8):
+                    rowv = jnp.broadcast_to(tile[k:k + 1], shape)
+                    picked = jnp.take_along_axis(rowv, c, axis=1)
+                    acc = jnp.where(r == t * 8 + k, picked, acc)
+                return acc
 
-            acc = unrolled_fori(n_rows, srow,
+            acc = unrolled_fori(-(-n_rows // 8), srow8,
                                 jnp.zeros(shape, jnp.float32), UNROLL)
             sig, ctl = _unpack_profile(acc)
             sig = jnp.where(in_ext, sig, 0.0) * density_factor
@@ -275,6 +294,8 @@ def _make_profile_kernel(C: int, n_rows: int, want_ctrl: bool,
             return n_sig, n_ctl, ccum, rcum
 
         zero = jnp.zeros_like(h)
+        # rows [C, C+8): read by the last tele8 tile (ci+1 at ci = C-1)
+        ctl_scr[pl.ds(C, 8)] = jnp.zeros((8,) + h.shape, jnp.float32)
         _, _, ccum, rcum = unrolled_fori(
             C, prof_body, (p_sig0, p_ctl0, zero, zero), UNROLL)
         rtot_out[...] = rcum
@@ -288,18 +309,21 @@ def _make_profile_kernel(C: int, n_rows: int, want_ctrl: bool,
             k0 = jnp.zeros(seed.shape, jnp.uint32)
             E = -jnp.log1p(-_uniform(seed, k0, salt_ctrl))
 
-            def tele(ci, carry):
+            def tele8(t, carry):
                 kacc, e_left, c_at, cc_prev = carry
-                cc = ccum_scr[pl.ds(ci, 1)][0]
-                gef = (E >= cc).astype(jnp.float32)
-                kacc = kacc + gef
-                e_left = e_left + gef * (cc - cc_prev)
-                c_at = c_at + gef * (ctl_scr[pl.ds(ci + 1, 1)][0]
-                                     - ctl_scr[pl.ds(ci, 1)][0])
-                return kacc, e_left, c_at, cc
+                cc_t = ccum_scr[pl.ds(t * 8, 8)]
+                ctl9 = ctl_scr[pl.ds(t * 8, 9)]
+                for kk in range(8):
+                    cc = cc_t[kk]
+                    gef = (E >= cc).astype(jnp.float32)
+                    kacc = kacc + gef
+                    e_left = e_left + gef * (cc - cc_prev)
+                    c_at = c_at + gef * (ctl9[kk + 1] - ctl9[kk])
+                    cc_prev = cc
+                return kacc, e_left, c_at, cc_prev
 
             kacc, e_left, c_at, _ = unrolled_fori(
-                C - 1, tele,
+                C // 8, tele8,
                 (jnp.zeros_like(E), jnp.zeros_like(E), ctl_scr[0],
                  jnp.zeros_like(E)), UNROLL)
             beyond = E >= ccum
@@ -343,7 +367,7 @@ def _pw_profile_call(params, tbl, sx, sy, sz, dx, dy, dz, tmax, seed, *,
         out_specs=(lane_out, lane_out, lane_out),
         scratch_shapes=[
             pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # sig_scr (unused)
-            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ctl_scr
+            pltpu.VMEM((40, ROWS, LANES), jnp.float32),  # ctl_scr (+8 pad)
             pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ccum_scr
         ],
         interpret=interpret,
@@ -374,6 +398,7 @@ def pw_profile(vol, start, direction, tmax, seed, C: int = 32,
         1.0 / sky, jnp.asarray([mx, my, mz, X, Y, Z], jnp.float32),
         vol.density_factor[None], sky, jnp.zeros((3,), jnp.float32)])
     n_rows = -(-vol.macro_packed.shape[0] // LANES)
+    n_rows = -(-n_rows // 8) * 8   # 8-row sweep tiles
     tbl = jnp.pad(vol.macro_packed,
                   (0, n_rows * LANES - vol.macro_packed.shape[0]))
     tbl = jax.lax.bitcast_convert_type(
@@ -435,8 +460,8 @@ def _pw_events_call(params, e_base, tbl, sx, sy, sz, dx, dy, dz, tmax,
         out_specs=(ev_out, ev_out, ev_out, ev_out, lane_out, lane_out,
                    lane_out),
         scratch_shapes=[
-            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # sig_scr
-            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ctl_scr
+            pltpu.VMEM((40, ROWS, LANES), jnp.float32),  # sig_scr (+8 pad)
+            pltpu.VMEM((40, ROWS, LANES), jnp.float32),  # ctl_scr (+8 pad)
             pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # rcum_scr
         ],
         interpret=interpret,
@@ -469,6 +494,7 @@ def pw_events(vol, start, direction, tmax, seed, e_last, e_base,
         1.0 / sky, jnp.asarray([mx, my, mz, X, Y, Z], jnp.float32),
         vol.density_factor[None], sky, jnp.zeros((3,), jnp.float32)])
     n_rows = -(-vol.macro_packed.shape[0] // LANES)
+    n_rows = -(-n_rows // 8) * 8   # 8-row sweep tiles
     tbl = jnp.pad(vol.macro_packed,
                   (0, n_rows * LANES - vol.macro_packed.shape[0]))
     tbl = jax.lax.bitcast_convert_type(
