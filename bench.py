@@ -15,8 +15,9 @@ the reference-default-encoding (2^19) frame — to stderr AND to
 output/bench_full.json.  NRC_BENCH_FULL=0 keeps only the headline.
 NRC_BENCH_PROFILE=1 additionally chain-times the 8-stage breakdown; it
 defaults OFF because isolating each stage costs ~11 min of device time.
-The round-3 breakdown is recorded in BASELINE.md (gen_rays 1875 ms,
-prep_train 752 ms, nn 125 ms of a ~2.4 s frame — tracing-bound).
+`total` + theoretical FPS are recorded unconditionally from the measured
+frame.  The round-4 breakdown is in BASELINE.md (gen_rays 1679 ms,
+prep_train 676 ms, nn 124 ms of a 2.23 s frame — tracing-bound).
 
 Sub-100ms measurements use the chained-scan protocol (profiler._chain_time):
 the axon tunnel acks block_until_ready early, so naive wall timing of small
