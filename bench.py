@@ -73,6 +73,19 @@ def main():
     from nrc_hpm_tpu.utils.compile_cache import enable_compilation_cache
     cache_dir = enable_compilation_cache()
     log(f"compilation cache: {cache_dir}")
+    # Record warm/cold status so first-frame numbers are interpretable:
+    # round 4's headline recorded an 814 s cold compile that was mostly
+    # the remote compile helper degrading (BASELINE.md) — the artifact
+    # must say which regime it measured (VERDICT r4 item 9).
+    try:
+        n_cached = sum(1 for _ in os.scandir(cache_dir))
+    except OSError:
+        n_cached = 0
+    results_cache = {"compile_cache_entries_before": n_cached,
+                     "compile_cache_status":
+                         "warm" if n_cached > 0 else "cold"}
+    log(f"compile cache entries before run: {n_cached} "
+        f"({results_cache['compile_cache_status']})")
 
     from nrc_hpm_tpu.camera import Camera
     from nrc_hpm_tpu.config import AppConfig
@@ -81,7 +94,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     full = _flag("NRC_BENCH_FULL")
-    results = {"device": str(dev)}
+    results = {"device": str(dev), **results_cache}
 
     cfg = AppConfig.tpu_tuned()  # scene 4, 1080p, rowsweep-sized hash grid
     cam = Camera.reference_camera(aspect=cfg.render_width / cfg.render_height)
@@ -132,6 +145,20 @@ def main():
         results["nrc_infer_samples_per_s"] = round(n_inf / idt, 1)
         log(f"nrc infer: {idt*1000:.2f} ms / {n_inf} samples = "
             f"{n_inf/idt:.3e} samples/s (chain-timed)")
+        # FULL-batch latency (VERDICT r4 item 6): the reference/tcnn
+        # number covers the whole 2.07M-sample 1080p batch
+        # (NrcHpmRenderer.cu:705, one 2^21 batch); the compacted kernel
+        # rate above flatters cross-system reads ~3x, so record the
+        # dense uncompacted batch too.
+        n_dense = cfg.render_width * cfg.render_height
+        xd = jax.random.uniform(jax.random.PRNGKey(2), (n_dense, 5))
+        ddt_i = _chain_time(lambda st, x: r.cache.infer(st, x),
+                            (state.nrc, xd), ns=(1, 3))
+        results["nrc_infer_fullbatch_ms"] = round(ddt_i * 1000, 2)
+        results["nrc_infer_fullbatch_samples_per_s"] = round(
+            n_dense / ddt_i, 1)
+        log(f"nrc infer full 1080p batch: {ddt_i*1000:.2f} ms / "
+            f"{n_dense} samples = {n_dense/ddt_i:.3e} samples/s")
     except Exception as e:
         log(f"infer bench skipped: {e}")
 

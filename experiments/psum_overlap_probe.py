@@ -1,0 +1,170 @@
+"""VERDICT r4 item 8: schedule-level evidence for the gradient-psum /
+backward-overlap claim.
+
+The north-star design claim is "NRC gradient all-reduce overlapped with
+backward".  This probe AOT-compiles the ShardedNrcRenderer train step
+against an 8-chip TPU v5e TOPOLOGY (jax.experimental.topologies — no
+physical chips needed) and inspects the optimized HLO schedule that
+XLA's latency-hiding scheduler produced for ICI:
+
+  1. counts all-reduce ops and reports whether they are emitted as async
+     pairs (all-reduce-start / all-reduce-done) — the form that overlaps
+     with compute — or as blocking all-reduce;
+  2. for each async pair, counts the instructions scheduled BETWEEN
+     start and done (the overlap window) and classifies them (fusions,
+     dots = the MLP backward matmuls, ...).
+
+A CPU-virtual-mesh fallback records the same counts when the TPU
+topology path is unavailable (the CPU backend schedules collectives
+blocking — that finding is recorded as such, not as overlap).
+
+Run: python experiments/psum_overlap_probe.py          (TPU topology)
+     NRC_PSUM_CPU=1 python experiments/psum_overlap_probe.py  (fallback)
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CPU = bool(os.environ.get("NRC_PSUM_CPU"))
+if CPU:
+    # The axon TPU plugin ignores JAX_PLATFORMS; force CPU the way
+    # __graft_entry__ does (must happen pre-backend-init).
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    if "--xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+if CPU:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def analyze_hlo(hlo: str) -> dict:
+    lines = hlo.splitlines()
+    pairs = []
+    starts = {}
+    for i, ln in enumerate(lines):
+        m = re.search(r"(\S+) = \S* ?all-reduce-start", ln)
+        if m:
+            starts[m.group(1)] = i
+        m2 = re.search(r"all-reduce-done\(([^)]+)\)", ln)
+        if m2 and m2.group(1) in starts:
+            pairs.append((starts[m2.group(1)], i, m2.group(1)))
+    blocking = [i for i, ln in enumerate(lines)
+                if re.search(r" all-reduce\(", ln)]
+    report = {
+        "async_allreduce_pairs": len(pairs),
+        "blocking_allreduce": len(blocking),
+        "windows": [],
+    }
+    for s, d, name in pairs:
+        window = lines[s + 1:d]
+        kinds = {}
+        dots = 0
+        for ln in window:
+            m = re.search(r"= \S+ (\w[\w-]*)\(", ln)
+            if m:
+                k = m.group(1)
+                kinds[k] = kinds.get(k, 0) + 1
+            if re.search(r"\bdot\(|custom-call.*gemm|convolution\(", ln):
+                dots += 1
+        report["windows"].append({
+            "name": name, "start_line": s, "done_line": d,
+            "instructions_between": len(window),
+            "dots_in_window": dots,
+            "kinds": dict(sorted(kinds.items(),
+                                 key=lambda kv: -kv[1])[:8]),
+        })
+    return report
+
+
+def main():
+    from nrc_hpm_tpu.camera import Camera
+    from nrc_hpm_tpu.config import AppConfig, EncodingConfig, SceneConfig
+    from nrc_hpm_tpu.parallel.sharding import ShardedNrcRenderer
+
+    cfg = AppConfig(
+        scene=SceneConfig.preset(4), render_width=128, render_height=64,
+        nn_width=64, nn_depth=6,
+        encoding=EncodingConfig(n_levels=8, log2_hashmap_size=13),
+        log2_infer_batch_size=12, log2_train_batch_size=8,
+        train_batch_count=2, train_ray_length=8, primary_ray_length=1,
+        max_track_steps=32)
+
+    if CPU:
+        assert len(jax.devices()) >= 8, "need 8 virtual devices"
+        mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+        backend = "cpu-virtual-mesh"
+    else:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+        mesh = Mesh(np.array(topo.devices), ("rays",))
+        backend = "tpu-v5e-2x4-topology"
+    print(f"mesh: {mesh} ({backend})", file=sys.stderr)
+
+    r = ShardedNrcRenderer(cfg, mesh=mesh)
+    cam = Camera.reference_camera(
+        aspect=cfg.render_width / cfg.render_height)
+
+    # abstract state (no device_put — the topology has no memory)
+    import jax.numpy as jnp
+
+    def abstract_state():
+        shapes = jax.eval_shape(_build_state)
+        return jax.tree.map(
+            lambda sh, spec: jax.ShapeDtypeStruct(
+                sh.shape, sh.dtype,
+                sharding=NamedSharding(mesh, spec)),
+            shapes, r._state_spec)
+
+    def _build_state():
+        # mirrors init_state without device placement
+        from nrc_hpm_tpu.renderer import NrcRenderState
+        from nrc_hpm_tpu.ring_buffer import RingBuffer
+        key = jax.random.PRNGKey(0)
+        key, sub = jax.random.split(key)
+        ring_cap = max(r.cfg.train_ring_size // r.n, 1)
+        return NrcRenderState(
+            image=jnp.zeros((r.pad_h, r.width, 4), jnp.float32),
+            blend_index=jnp.int32(1),
+            ring=RingBuffer(data=jnp.zeros((r.n * ring_cap, 6),
+                                           jnp.float32),
+                            head=jnp.zeros((r.n,), jnp.int32),
+                            tail=jnp.zeros((r.n,), jnp.int32)),
+            nrc=r.cache.init_state(sub), key=key)
+
+    st = abstract_state()
+    lowered = r._step_train.lower(st, cam, r.vol, r.lights)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    report = analyze_hlo(hlo)
+    report["backend"] = backend
+    print(json.dumps(report, indent=1))
+
+    os.makedirs("output", exist_ok=True)
+    with open("output/psum_overlap_r5.json", "w") as f:
+        json.dump({
+            "note": "Optimized-HLO schedule evidence for gradient-psum/"
+                    "backward overlap: ShardedNrcRenderer online train "
+                    "step, 128x64, 8-way rays mesh. async pairs = "
+                    "all-reduce-start/done with N instructions scheduled "
+                    "between (the overlap window XLA's latency-hiding "
+                    "scheduler created); dots_in_window counts matmuls "
+                    "(MLP backward) inside the window.",
+            **report}, f, indent=1)
+    print("written output/psum_overlap_r5.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,11 @@ class RestirRenderer:
         self.vol = vol if vol is not None else _volume_from_config(cfg)
         self.lights = lights if lights is not None \
             else lights_from_scene(cfg.scene)
+        # Default TraceParams (NOT primary_params): ReSTIR's local-init
+        # pass traces path_vertex_count(8)-vertex paths whose alive set
+        # decays over bounces — the regime where delta-phase lane
+        # compaction measured as a WIN (BASELINE.md round 4: compaction
+        # loses only on short ~1.3-bounce primary traces).
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
                                   max_track_steps=cfg.max_track_steps,
                                   env_fixed16=cfg.env_fixed16)

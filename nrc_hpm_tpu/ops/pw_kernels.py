@@ -76,6 +76,10 @@ def _unpack_profile(word_f32):
 
 
 def _make_kernel(C: int, S: int, n_rows: int, salt: int):
+    # the tele8 inversion iterates C // 8 tiles; a non-multiple-of-8 C
+    # would silently skip trailing intervals (ADVICE r4)
+    assert C % 8 == 0, f"interval count C={C} must be a multiple of 8"
+
     def kernel(params, ebase_smem, tbl_ref,
                sx, sy, sz, dx, dy, dz, tmax_ref, seed_ref, elast_ref,
                lin_out, t_out, c_out, sres_out, enew_out, rtot_out,
@@ -232,9 +236,10 @@ def _make_profile_kernel(C: int, n_rows: int, want_ctrl: bool,
     collision t, replacing the XLA-side _coarse_profile + _map_events
     pre-pass that cost ~90 ms per full-width tracking call
     (transmittance.py round-4 restructure)."""
+    assert C % 8 == 0, f"interval count C={C} must be a multiple of 8"
 
     def kernel(params, tbl_ref, sx, sy, sz, dx, dy, dz, tmax_ref, seed_ref,
-               rtot_out, ctot_out, tctrl_out, sig_scr, ctl_scr, ccum_scr):
+               rtot_out, ctot_out, tctrl_out, ctl_scr, ccum_scr):
         inv_skyx, inv_skyy, inv_skyz = params[0], params[1], params[2]
         mx, my, mz = params[3], params[4], params[5]
         density_factor = params[9]
@@ -366,7 +371,6 @@ def _pw_profile_call(params, tbl, sx, sy, sz, dx, dy, dz, tmax, seed, *,
         ),
         out_specs=(lane_out, lane_out, lane_out),
         scratch_shapes=[
-            pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # sig_scr (unused)
             pltpu.VMEM((40, ROWS, LANES), jnp.float32),  # ctl_scr (+8 pad)
             pltpu.VMEM((32, ROWS, LANES), jnp.float32),  # ccum_scr
         ],

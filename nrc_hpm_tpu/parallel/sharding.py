@@ -82,6 +82,11 @@ class ShardedNrcRenderer:
         self.params = TraceParams(flags=LightFlags.from_scene(cfg.scene),
                                   max_track_steps=cfg.max_track_steps,
                                   env_fixed16=cfg.env_fixed16)
+        # gen_rays operating point, matching the single-chip renderer
+        # (delta-phase lane compaction is a measured net loss for short
+        # primary traces — BASELINE.md round 4).  Results are bitwise
+        # identical either way (stateless event draws); this is perf only.
+        self.primary_params = self.params.primary_params()
         self.cache = NeuralRadianceCache(cfg)
         self.show_nrc = show_nrc
         self.blend = blend
@@ -180,11 +185,12 @@ class ShardedNrcRenderer:
         flat_ro = jnp.broadcast_to(camera.pos, flat_rd.shape)
         if cfg.compact:
             prim = primary_pass_compact(
-                rng_state.reshape(n_local), vol, lights, self.params, cfg,
-                flat_ro, flat_rd, chunks=cfg.trace_chunks)
+                rng_state.reshape(n_local), vol, lights,
+                self.primary_params, cfg, flat_ro, flat_rd,
+                chunks=cfg.trace_chunks)
         else:
             prim = primary_pass(rng_state.reshape(n_local), vol, lights,
-                                self.params, cfg, flat_ro, flat_rd)
+                                self.primary_params, cfg, flat_ro, flat_rd)
 
         x5 = pack_nrc_inputs(vol, prim["nrc_pos"], prim["nrc_dir"])
         # shard-local infer filter/compaction — same path as the
@@ -240,8 +246,8 @@ class ShardedNrcRenderer:
             t_rd = rays_for_uv(camera, t_uv)
             t_ro = jnp.broadcast_to(camera.pos, t_rd.shape)
             t_rng = rng.init_state(t_uv, frame_rand)
-            tprim = primary_pass(t_rng, vol, lights, self.params, cfg,
-                                 t_ro, t_rd)
+            tprim = primary_pass(t_rng, vol, lights, self.primary_params,
+                                 cfg, t_ro, t_rd)
             scat = tprim["did_scatter"]
             qpos = tprim["nrc_pos"]
             qdir = tprim["nrc_dir"]
