@@ -65,8 +65,22 @@ def analyze_hlo(hlo: str) -> dict:
     report = {
         "async_allreduce_pairs": len(pairs),
         "blocking_allreduce": len(blocking),
+        "blocking_context": [],
         "windows": [],
     }
+    for i in blocking:
+        def op_of(ln):
+            m = re.search(r"= (\S+) ([\w-]+)", ln)
+            return m.group(2) if m else ln.strip()[:60]
+        shape = re.search(r"= (\S+) all-reduce", lines[i])
+        report["blocking_context"].append({
+            "line": i,
+            "shape": shape.group(1) if shape else "?",
+            "before": [op_of(lines[j])
+                       for j in range(max(0, i - 3), i)],
+            "after": [op_of(lines[j])
+                      for j in range(i + 1, min(len(lines), i + 4))],
+        })
     for s, d, name in pairs:
         window = lines[s + 1:d]
         kinds = {}

@@ -195,6 +195,11 @@ class AppConfig:
     # rather than the current RatioTrack line; True replicates that for
     # golden-comparable renders of the env-lit presets (4/5).
     env_fixed16: bool = False
+    # Train-target radiance clamp (prep_train_rays.comp:58 hardcodes 8.0).
+    # Exposed as a knob for bias experiments: the clamp truncates bright
+    # target mass, one suspected driver of the scene-0 NRC relBias
+    # (BASELINE.md round 5).  8.0 = reference parity.
+    train_target_clamp: float = 8.0
     # Cache-bootstrapped train targets (beyond-reference, the NRC paper's
     # own self-training trick): train paths that survive all
     # train_ray_length bounces terminate INTO the EMA cache — the

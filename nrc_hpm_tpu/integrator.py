@@ -321,8 +321,12 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
         (idx,) = jnp.nonzero(mask, size=cap, fill_value=n_lanes)
 
         def compact_branch(arrays):
-            gathered = [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
-                        for a in arrays]
+            # packed-row TAKE: 4x faster than per-array 1-D takes on the
+            # scalar-gather path (r5_delta_decomp.py: 48.4 -> 12.1 ms
+            # @622k); scatters stay per-array (the packed-row scatter
+            # measured SLOWER, r5_tail_probe: 17.3 vs 29.7 ms)
+            from .ops.compaction import take_rows
+            gathered = take_rows(idx, *arrays)
             out = fn(*gathered)
             return tuple(a.at[idx].set(o, mode="drop")
                          for a, o in zip(arrays, out))

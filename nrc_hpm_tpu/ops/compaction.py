@@ -20,6 +20,65 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Packed-row gather/scatter
+# ---------------------------------------------------------------------------
+# Compacting k separate per-lane arrays with k 1-D takes runs each element
+# through XLA's scalar-gather path (~115M elem/s).  Packing the arrays as
+# COLUMNS of one (N, k) matrix first makes every take a contiguous-row
+# gather, measured 4x faster at the production shapes (round-5,
+# experiments/r5_delta_decomp.py: 9 x 1-D @622k = 48.4 ms vs 12.1 ms as
+# (N, 9) rows); the pack/unpack copies run at HBM bandwidth and cost ~2%
+# of the saving.  Bool columns ride as f32 0/1, integer columns as
+# bitcast f32 (gathers move bits, never arithmetic, so NaN patterns are
+# safe; the fill value 0 bitcasts to 0 in every dtype).
+
+def _pack_cols(arrays):
+    """arrays of shape (N,) or (N, k) -> ((N, K) f32 matrix, specs)."""
+    cols, specs = [], []
+    for a in arrays:
+        v = a[:, None] if a.ndim == 1 else a
+        if v.dtype == jnp.bool_:
+            cols.append(v.astype(jnp.float32))
+        elif jnp.issubdtype(v.dtype, jnp.floating):
+            cols.append(v.astype(jnp.float32))
+        else:
+            cols.append(jax.lax.bitcast_convert_type(
+                v.astype(jnp.uint32) if v.dtype != jnp.int32 else v,
+                jnp.float32))
+        specs.append((a.ndim, a.dtype, v.shape[1]))
+    return jnp.concatenate(cols, axis=1), specs
+
+
+def _unpack_cols(mat, specs):
+    out, o = [], 0
+    for ndim, dtype, k in specs:
+        v = mat[:, o:o + k]
+        o += k
+        if dtype == jnp.bool_:
+            r = v != 0.0
+        elif jnp.issubdtype(dtype, jnp.floating):
+            r = v.astype(dtype)
+        else:
+            r = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            r = r.astype(dtype) if dtype != jnp.uint32 else r
+        out.append(r[:, 0] if ndim == 1 else r)
+    return out
+
+
+def take_rows(idx, *arrays):
+    """Gather lanes ``idx`` from every array via ONE packed-row take
+    (zero fill for out-of-range indices).
+
+    The matching packed-row SCATTER was measured and rejected: per-array
+    1-D scatters run at ~324M elem/s vs ~188M packed (r5_tail_probe:
+    17.3 vs 29.7 ms for 9 columns @622k) — scatters keep the per-array
+    form at every call site."""
+    mat, specs = _pack_cols(arrays)
+    rows = jnp.take(mat, idx, axis=0, mode="fill", fill_value=0)
+    return _unpack_cols(rows, specs)
+
+
 def compact_apply(fn, mask, arrays, out_shapes, capacity: int,
                   dense_fn=None):
     """Run ``fn`` on only the mask-selected lanes (compacted to a static

@@ -279,7 +279,8 @@ class ShardedNrcRenderer:
                         boot * res["throughput"][..., None], 0.0)
                 target = target + spp_rad
                 t_state = res["state"]
-            target = jnp.minimum(target / cfg.train_spp, 8.0)
+            target = jnp.minimum(target / cfg.train_spp,
+                                 cfg.train_target_clamp)
 
             ring = ring_push(ring, scat & valid,
                              jnp.concatenate([r_ro, r_rd], axis=-1))

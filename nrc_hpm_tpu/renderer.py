@@ -481,8 +481,8 @@ class NrcRenderer:
                 target = target + spp_rad
                 t_state = res["state"]
             target = target / cfg.train_spp
-            # clamp (prep_train_rays.comp:58)
-            target = jnp.minimum(target, 8.0)
+            # clamp (prep_train_rays.comp:58; 8.0 = reference parity)
+            target = jnp.minimum(target, cfg.train_target_clamp)
 
             # scattered rays feed the ring (StoreNrcTrainData:65)
             ring = ring_push(

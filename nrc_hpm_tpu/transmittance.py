@@ -398,9 +398,11 @@ def _flatten_lanes(fn):
 
 
 def _take(idx, *arrays):
-    """Gather lanes by index with zero fill (compaction)."""
-    return [jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
-            for a in arrays]
+    """Gather lanes by index with zero fill (compaction) — one packed-row
+    take: k separate 1-D takes cost 4x more on the scalar-gather path
+    (round 5, experiments/r5_delta_decomp.py: 48.4 -> 12.1 ms @622k)."""
+    from .ops.compaction import take_rows
+    return take_rows(idx, *arrays)
 
 
 # Russian-roulette threshold for the pw ratio tracker: once a lane's
@@ -631,6 +633,9 @@ def ratio_track_pw(state, vol: Volume, start, end, max_steps: int = 128,
                                           sg, rc, hh, seg_len, rtot=rtot_c)
             e_base, e_c, tr_c = _run_segments(body_c, rtot_c, e_base, e1,
                                               e_c, tr_c)
+            # per-array scatters: measured FASTER than a packed-row
+            # scatter (r5_tail_probe: 17.3 vs 29.7 ms for 9 cols @622k),
+            # unlike the take side
             return (e_base, e_last.at[idx].set(e_c, mode="drop"),
                     trans.at[idx].set(tr_c, mode="drop"))
 
@@ -819,8 +824,8 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
 
             def compact_branch(args, e1=e1, idx=idx, seg_len=seg_len):
                 e_base, carry = args[0], args[1:]
-                seed_c, tmax_c, ro_c, rd_c = _take(idx, seed, tmax, ro, rd)
-                cc = _take(idx, *carry)
+                seed_c, tmax_c, ro_c, rd_c, *cc = _take(
+                    idx, seed, tmax, ro, rd, *carry)
                 # fill lanes must not run: mark them resolved
                 cc[1] = cc[1] | (idx >= n)
                 if kernel_mode:
@@ -833,6 +838,7 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                     body_c = _make_delta_body(vol, seed_c, ro_c, rd_c, ct,
                                               sg, rc, hh, seg_len)
                 out = _run_delta_segments(body_c, e_base, e1, tuple(cc))
+                # per-array scatters beat the packed-row form (see ratio)
                 return (out[0],) + tuple(
                     a.at[idx].set(o, mode="drop")
                     for a, o in zip(carry, out[1:]))
