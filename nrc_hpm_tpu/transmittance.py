@@ -295,12 +295,17 @@ COMPACT_MIN_LANES = 32768
 # Two stages, not three: every additional cond stage traces+compiles two
 # more full tracking bodies per call site — the third stage cost ~60 s of
 # 1080p compile for a ~2% runtime gain (experiments/compile_bisect.py).
-# Round-4 retune (experiments/gen_variants.py): delta stage-0 capacity
-# 0.55 -> 0.30 (primary rays hit the box at only ~27%, so 0.55 doubled
-# every stage-0 take/kernel) and 16-event tail segments (half the while
-# iterations on the unresolved tail): 1080p gen_rays 1886 -> 1744 ms.
+# Round-5 retune: the uniform macro-majorant floor had made rtot > 0 on
+# EVERY box-crossing ray, so the delta stage-0 cond silently took its
+# dense branch every frame (the round-4 "27% box hit" premise was wrong:
+# at the reference view ALL 2.07M rays hit the box).  With exact-zero
+# empty macro cells (volume._build_macro), 47% of reference-view lanes
+# carry rtot > 0; stage-0 cap 0.50 engages compaction (430 -> 352 ms),
+# S=16 + stage-1 cap 0.06 take delta @2.07M to ~310 ms.  Swept dead ends
+# this round: stage-1 cap 0.03 overflows to dense (1109 ms), 32-event
+# stage-0 (412), single-stage (656) — see git history for the sweep.
 RATIO_PLAN = ((None, 8, 16), (0.08, 16, None))
-DELTA_PLAN = ((0.30, 8, 16), (0.10, 16, None))
+DELTA_PLAN = ((0.50, 16, 16), (0.06, 16, None))
 
 
 # All piecewise buffers use LANE-MINOR layout — events/intervals lead,

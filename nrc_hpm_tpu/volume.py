@@ -209,7 +209,14 @@ def _build_macro(norm_grid: np.ndarray):
         dil = np.maximum(dil, np.maximum(p, n))
         p, n = _shift3(cmin, axis, 0.0)
         ero = np.minimum(ero, np.minimum(p, n))
-    dil = dil * (1.0 + 1e-5) + 1e-7
+    # Safety margin ONLY on nonzero cells: a uniform +1e-7 floor makes
+    # EVERY box-crossing ray carry rtot > 0, which permanently disables
+    # the piecewise trackers' empty-lane resolution (empty = rtot <= 0)
+    # and silently forced the stage-0 compaction into its dense fallback
+    # on every frame (round-5 finding: the delta stage-0 cond always took
+    # branch_0).  Truly-empty dilated cells are exact zero majorants —
+    # all 7 face-neighbor cells have zero density by construction.
+    dil = np.where(dil > 0.0, dil * (1.0 + 1e-5) + 1e-7, 0.0)
     ero = np.minimum(ero, dil)
     return (dil.reshape(-1).astype(np.float32),
             ero.reshape(-1).astype(np.float32))
