@@ -60,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="compare the accumulated on-screen image instead "
                         "of a fresh ref-camera frame (NOT the reference's "
                         "Reference::CompareNrc semantics; cheaper)")
+    p.add_argument("--target-clamp", type=float, default=None,
+                   help="train-target radiance clamp override "
+                        "(reference parity: 8.0, prep_train_rays.comp:58)")
     p.add_argument("--tpu-tuned", action="store_true",
                    help="use the TPU-tuned operating point "
                         "(AppConfig.tpu_tuned: rowsweep-sized hash grid)")
@@ -125,6 +128,8 @@ def main(argv=None) -> int:
                                               n_levels=args.n_levels))
     if args.cache_bootstrap:
         cfg = dataclasses.replace(cfg, train_cache_bootstrap=True)
+    if args.target_clamp is not None:
+        cfg = dataclasses.replace(cfg, train_target_clamp=args.target_clamp)
     if args.env_fixed16:
         cfg = dataclasses.replace(cfg, env_fixed16=True)
     if args.width or args.height:
