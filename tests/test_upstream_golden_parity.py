@@ -21,12 +21,17 @@ gaps" section):
       generation gap (upstream goldens used the now-commented fixed-16
       env transmittance, path_trace.glsl:100; root-caused in round 4)
   scene 1: +2.14    scene 2: +0.89       -> point-light presets; probes
-      ruled OUT the fixed-16 estimator (ratio 0.975 from the light) and
+      ruled OUT the fixed-16 estimator in BOTH segment directions
+      (E[RatioTrack]/T_f16 = 0.975 light->pos, 1.026 pos->light),
       fine-grid resolution sensitivity (2x-coarser grid moves mean
-      transmittance 0.4%); the excess is broad (median pixel ratio 2.6x),
-      consistent with golden-era preset/shader drift in the upstream
-      repo (no git history survives to check).  Gated as recorded
-      offsets so any NEW regression on our side still fails.
+      transmittance 0.4%), and a golden-era isotropic phase in the
+      point-light term (HG(0.8)/iso first-scatter mean = 0.83 — wrong
+      direction).  The excess is broad (median pixel ratio 2.6x), so it
+      is golden-era preset or shader drift in the upstream repo (no git
+      history survives to check).  Our OWN absolute calibration for
+      these presets is tests/test_long_budget_bias.py: 256-frame
+      unclamped runs pass |relBias| < 0.05 against our goldens.  Gated
+      here as recorded offsets so any NEW regression still fails.
 """
 
 import os
