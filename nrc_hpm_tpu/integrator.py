@@ -86,11 +86,25 @@ class TraceParams:
     # the golden-era estimator for the env in-scatter term.
     env_fixed16: bool = False
 
+    # Stage-0 capacity override for delta_track_pw (None = DELTA_PLAN's
+    # default).  Set per bounce by the unrolled primary loop: bounce 2's
+    # live set is the ~22% scattered lanes (measured 0.223 at the
+    # reference view), far below bounce 1's 47% rtot>0 set.
+    delta_stage0_cap: float | None = None
+
     def primary_params(self) -> "TraceParams":
-        """The gen_rays operating point (short paths, ~27% box hits):
+        """The gen_rays operating point (short paths):
         no delta-phase lane compaction, tighter scene capacity."""
         return dataclasses.replace(self, bounce_compact_frac=0.0,
                                    scene_compact_frac=0.24)
+
+    def second_bounce_params(self) -> "TraceParams":
+        """Bounce-2 operating point for the unrolled primary loop:
+        delta stage-0 sized to the scattered set (0.223 measured + 25%
+        margin), scene capacity to the twice-scattered set (0.194
+        measured + margin)."""
+        return dataclasses.replace(self, delta_stage0_cap=0.28,
+                                   scene_compact_frac=0.22)
 
     @property
     def ratio_track(self):
@@ -107,7 +121,8 @@ class TraceParams:
         if self.mode == "pw":
             return functools.partial(delta_track_pw, segment=self.segment,
                                      coarse=self.coarse,
-                                     compact=self.event_compact)
+                                     compact=self.event_compact,
+                                     stage0_cap=self.delta_stage0_cap)
         if self.mode == "fast":
             return functools.partial(delta_track_fast, segment=self.segment)
         return delta_track
@@ -246,7 +261,7 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
                ro, rd, *, n_bounces: int,
                primary_ray_length: int | None = None,
                primary_ray_prob: float = 0.0,
-               active=None):
+               active=None, unroll: bool | None = None):
     """Shared bounce loop for all three TracePath variants.
 
     With ``primary_ray_length=None`` this is the fixed-length train/MC loop;
@@ -272,7 +287,7 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
     scat0 = jnp.zeros(ro.shape[:-1], bool)
     alive0 = active
 
-    def phase_delta(point, direction, alive, state):
+    def phase_delta(point, direction, alive, state, p=p):
         # Find new point (DeltaTrack)
         new_point, exited, state = p.delta_track(
             state, vol, point, direction, p.max_track_steps, active=alive)
@@ -282,7 +297,8 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
         alive = alive & ~exited
         return point, alive, state
 
-    def phase_scene(i, point, direction, radiance, factor, alive, state):
+    def phase_scene(i, point, direction, radiance, factor, alive, state,
+                    p=p):
         factor = jnp.where(alive, factor * 0.5, factor)
         light, state = trace_scene(state, vol, lights, p,
                                    point, direction, alive)
@@ -304,12 +320,6 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
 
     n_lanes = ro.shape[0] if ro.ndim == 2 else 0
     big = ro.ndim == 2 and n_lanes >= COMPACT_MIN_LANES
-    use_compact_delta = p.bounce_compact_frac > 0 and big
-    use_compact_scene = p.scene_compact_frac > 0 and big
-    cap_delta = max(int(n_lanes * p.bounce_compact_frac), 128) \
-        if use_compact_delta else 0
-    cap_scene = max(int(n_lanes * p.scene_compact_frac), 128) \
-        if use_compact_scene else 0
 
     def _compacted(mask, arrays, fn, cap):
         """Run fn on the mask-compacted lanes (dense fallback on overflow);
@@ -337,57 +347,99 @@ def trace_path(state, vol: Volume, lights: Lights, p: TraceParams,
         return jax.lax.cond(count <= cap, compact_branch, dense_branch,
                             tuple(arrays))
 
-    def body(i, carry):
+    def make_body(p_b):
+        """Bounce body with per-bounce TraceParams (the unrolled primary
+        path passes a smaller-capacity p for bounce 2)."""
+        use_cd = p_b.bounce_compact_frac > 0 and big
+        use_cs = p_b.scene_compact_frac > 0 and big
+        cap_d = max(int(n_lanes * p_b.bounce_compact_frac), 128) \
+            if use_cd else 0
+        cap_s = max(int(n_lanes * p_b.scene_compact_frac), 128) \
+            if use_cs else 0
+
+        def body(i, carry):
+            point, direction, radiance, factor, scattered, alive, state = \
+                carry
+
+            # The bounce runs in two separately compacted phases: the
+            # delta phase on lanes alive at bounce start, the scene phase
+            # on the (often much smaller) set that actually scattered —
+            # on the WDAS cloud only ~22% of primary rays scatter, so
+            # direct lighting never runs at screen width.
+            def d_fn(pt, d, al, st):
+                pt2, al2, st2 = phase_delta(pt, d, al, st, p=p_b)
+                return pt2, d, al2, st2
+
+            def s_fn(pt, d, r, f, al, st):
+                d2, r2, f2, al2, st2 = phase_scene(i, pt, d, r, f, al, st,
+                                                   p=p_b)
+                return pt, d2, r2, f2, al2, st2
+
+            if use_cd:
+                point, direction, alive, state = _compacted(
+                    alive, (point, direction, alive, state), d_fn, cap_d)
+            else:
+                point, direction, alive, state = d_fn(
+                    point, direction, alive, state)
+            scattered = scattered | alive
+
+            if use_cs:
+                point, direction, radiance, factor, alive, state = \
+                    _compacted(
+                        alive,
+                        (point, direction, radiance, factor, alive, state),
+                        s_fn, cap_s)
+            else:
+                point, direction, radiance, factor, alive, state = s_fn(
+                    point, direction, radiance, factor, alive, state)
+            return (point, direction, radiance, factor, scattered, alive,
+                    state)
+
+        return body
+
+    body = make_body(p)
+
+    unroll_primary = (primary_ray_length is not None
+                      and primary_ray_prob == 0.0 and n_bounces <= 2
+                      and big) if unroll is None else unroll
+    if unroll_primary:
+        # Unrolled short-primary loop (the canonical gen_rays shape:
+        # primary_ray_length=1, prob=0 -> exactly 2 bounces) with
+        # PER-BOUNCE capacities: bounce 2 runs on the scattered ~22%,
+        # so its delta stage-0 and scene caps shrink ~2x
+        # (second_bounce_params).  Values are identical to the while
+        # path — compaction capacities are value-transparent, and each
+        # bounce is guarded by the same any-alive early exit.
+        carry = (entry, rd, radiance0, factor0, scat0, alive0, state)
+        for i in range(n_bounces):
+            p_i = p if i == 0 else p.second_bounce_params()
+            body_i = make_body(p_i)
+            carry = jax.lax.cond(
+                jnp.any(carry[5]),
+                lambda c, i=i, b=body_i: tuple(b(jnp.int32(i), c)),
+                lambda c: c, carry)
         point, direction, radiance, factor, scattered, alive, state = carry
+    else:
+        # while-loop with an any-alive early exit: the reference's
+        # threads simply return (gen_rays.comp:39-42); for long train
+        # paths most lanes exit the volume well before TRAIN_RAY_LENGTH,
+        # and dead bounces would still pay compaction + profile
+        # machinery under a fori_loop
+        def cond(c):
+            i = c[0]
+            alive = c[6]
+            return (i < n_bounces) & jnp.any(alive)
 
-        # The bounce runs in two separately compacted phases: the delta
-        # phase on lanes alive at bounce start, the scene phase on the
-        # (often much smaller) set that actually scattered — on the WDAS
-        # cloud only ~22% of primary rays scatter, so direct lighting
-        # never runs at screen width.
-        def d_fn(pt, d, al, st):
-            pt2, al2, st2 = phase_delta(pt, d, al, st)
-            return pt2, d, al2, st2
+        def wbody(c):
+            i = c[0]
+            out = body(i, c[1:])
+            return (i + 1,) + tuple(out)
 
-        def s_fn(pt, d, r, f, al, st):
-            d2, r2, f2, al2, st2 = phase_scene(i, pt, d, r, f, al, st)
-            return pt, d2, r2, f2, al2, st2
-
-        if use_compact_delta:
-            point, direction, alive, state = _compacted(
-                alive, (point, direction, alive, state), d_fn, cap_delta)
-        else:
-            point, direction, alive, state = d_fn(
-                point, direction, alive, state)
-        scattered = scattered | alive
-
-        if use_compact_scene:
-            point, direction, radiance, factor, alive, state = _compacted(
-                alive, (point, direction, radiance, factor, alive, state),
-                s_fn, cap_scene)
-        else:
-            point, direction, radiance, factor, alive, state = s_fn(
-                point, direction, radiance, factor, alive, state)
-        return point, direction, radiance, factor, scattered, alive, state
-
-    # while-loop with an any-alive early exit: the reference's threads
-    # simply return (gen_rays.comp:39-42); for long train paths most lanes
-    # exit the volume well before TRAIN_RAY_LENGTH, and dead bounces would
-    # still pay compaction + profile machinery under a fori_loop
-    def cond(c):
-        i = c[0]
-        alive = c[6]
-        return (i < n_bounces) & jnp.any(alive)
-
-    def wbody(c):
-        i = c[0]
-        out = body(i, c[1:])
-        return (i + 1,) + tuple(out)
-
-    carry = (jnp.int32(0), entry, rd, radiance0, factor0, scat0, alive0,
-             state)
-    carry = jax.lax.while_loop(cond, wbody, carry)
-    _, point, direction, radiance, factor, scattered, alive, state = carry
+        carry = (jnp.int32(0), entry, rd, radiance0, factor0, scat0,
+                 alive0, state)
+        carry = jax.lax.while_loop(cond, wbody, carry)
+        _, point, direction, radiance, factor, scattered, alive, state = \
+            carry
 
     # ``alive``: lanes still inside the volume when the bounce budget ran
     # out — the truncated-path set whose remaining in-scattered radiance

@@ -754,7 +754,7 @@ def _run_delta_segments(body, e0, e1: int, carry):
 @_flatten_lanes
 def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
                    segment: int = 16, coarse: int = 32, active=None,
-                   compact: bool = True):
+                   compact: bool = True, stage0_cap: float | None = None):
     """Decomposition delta tracking: the control component's first collision
     is sampled ANALYTICALLY (no density lookups); only residual events —
     concentrated where the density varies — gather the fine grid.  The
@@ -810,7 +810,12 @@ def delta_track_pw(state, vol: Volume, ro, rd, max_steps: int = 128,
     else:
         e_base = jnp.int32(0)
         e0 = 0
-        for frac, seg_len, n_events in DELTA_PLAN:
+        for stage_i, (frac, seg_len, n_events) in enumerate(DELTA_PLAN):
+            if stage_i == 0 and stage0_cap is not None and frac is not None:
+                # caller-supplied stage-0 capacity (per-bounce tuning:
+                # the second primary bounce's live set is the ~22%
+                # scattered lanes, far below the first bounce's 47%)
+                frac = stage0_cap
             e1 = max_steps if n_events is None else min(e0 + n_events,
                                                         max_steps)
             if e1 <= e0:

@@ -182,3 +182,38 @@ def test_env_fixed16_flag_changes_env_term_only(small_volume):
                        dataclasses.replace(p2, env_fixed16=True),
                        pos, d, active)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unrolled_primary_matches_while_loop(small_volume):
+    """The unrolled short-primary loop (per-bounce capacities,
+    integrator.trace_path round 5) must produce IDENTICAL values to the
+    while-loop form: compaction capacities are value-transparent and the
+    any-alive guard replicates the while's early exit.  Run above
+    COMPACT_MIN_LANES so both compaction paths actually engage."""
+    import dataclasses
+
+    import jax
+
+    from nrc_hpm_tpu.integrator import trace_path
+    from nrc_hpm_tpu.lights import lights_from_scene
+
+    vol = small_volume
+    lights = lights_from_scene(SceneConfig.preset(4))
+    n = 36864  # > COMPACT_MIN_LANES (32768)
+    key = jax.random.PRNGKey(0)
+    ro = jax.random.uniform(key, (n, 3), minval=-6.0, maxval=6.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    state = rng.init_state(
+        jax.random.uniform(jax.random.PRNGKey(2), (n, 2)),
+        jnp.array([0.1, 0.2, 0.3, 0.4]))
+    flags = LightFlags(dir_on=True, point_on=False, env_on=True)
+    p = TraceParams(flags=flags, max_track_steps=32).primary_params()
+
+    kw = dict(n_bounces=2, primary_ray_length=1, primary_ray_prob=0.0)
+    rolled = trace_path(state, vol, lights, p, ro, d, unroll=False, **kw)
+    unrolled = trace_path(state, vol, lights, p, ro, d, unroll=True, **kw)
+    for k in ("radiance", "throughput", "did_scatter", "terminal_pos",
+              "terminal_dir", "alive"):
+        np.testing.assert_array_equal(
+            np.asarray(rolled[k]), np.asarray(unrolled[k]), err_msg=k)
