@@ -216,8 +216,15 @@ class AppConfig:
         hash-grid table sized into the rowsweep fast-gather window
         (experiments/gather3_bench.py: 12G lookups/s at 2^12-per-level vs
         140M/s through XLA's scalar gather at the reference's 2^19).
+
+        2^13 tables since round 5 (was 2^14): the round-4 matched-window
+        probe measured 2^13 within 1.2% of the flagship MSE with
+        IDENTICAL relBias to the 2^19 reference default
+        (output/quality_2x13, BASELINE.md), and the fused inference
+        kernel — whose rowsweep cost is linear in table rows — runs
+        1.9x faster (2.64e7 vs 1.38e7 samples/s, round-5 sweep).
         Quality parity vs the 2^19 table is tracked in BASELINE.md."""
-        enc = overrides.pop("encoding", EncodingConfig(log2_hashmap_size=14))
+        enc = overrides.pop("encoding", EncodingConfig(log2_hashmap_size=13))
         return AppConfig(encoding=enc, **overrides)
 
     # ------------------------------------------------------------------
