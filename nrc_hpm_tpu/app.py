@@ -115,10 +115,10 @@ def main(argv=None) -> int:
         print("No arguments found. Loading defaults")
         cfg = AppConfig.from_argv(DEFAULT_ARGV)
     if args.tpu_tuned:
-        # keep in sync with AppConfig.tpu_tuned (2^13 since round 5)
+        # keep in sync with AppConfig.tpu_tuned (2^12 since round 5)
         cfg = dataclasses.replace(
             cfg, encoding=dataclasses.replace(cfg.encoding,
-                                              log2_hashmap_size=13))
+                                              log2_hashmap_size=12))
     if args.log2_hashmap:
         cfg = dataclasses.replace(
             cfg, encoding=dataclasses.replace(

@@ -217,14 +217,15 @@ class AppConfig:
         (experiments/gather3_bench.py: 12G lookups/s at 2^12-per-level vs
         140M/s through XLA's scalar gather at the reference's 2^19).
 
-        2^13 tables since round 5 (was 2^14): the round-4 matched-window
-        probe measured 2^13 within 1.2% of the flagship MSE with
-        IDENTICAL relBias to the 2^19 reference default
-        (output/quality_2x13, BASELINE.md), and the fused inference
-        kernel — whose rowsweep cost is linear in table rows — runs
-        1.9x faster (2.64e7 vs 1.38e7 samples/s, round-5 sweep).
+        2^12 tables since round 5 (was 2^14): the round-5 24-frame
+        matched-window probe (output/quality_2x12_r5) measures 2^12 at
+        MSE 0.3668 vs 0.3655 (2^14) and 0.3654 (the 2^19 reference
+        default) — within 0.4% — with relBias -0.127 EQUAL to the 2^19
+        default's.  The fused inference kernel's rowsweep is linear in
+        table rows, so the adoption runs it at 4.94e7 samples/s vs
+        1.38e7 at 2^14 (round-5 sweep, experiments/r5_infer_sweep.py).
         Quality parity vs the 2^19 table is tracked in BASELINE.md."""
-        enc = overrides.pop("encoding", EncodingConfig(log2_hashmap_size=13))
+        enc = overrides.pop("encoding", EncodingConfig(log2_hashmap_size=12))
         return AppConfig(encoding=enc, **overrides)
 
     # ------------------------------------------------------------------
