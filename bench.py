@@ -16,8 +16,11 @@ output/bench_full.json.  NRC_BENCH_FULL=0 keeps only the headline.
 NRC_BENCH_PROFILE=1 additionally chain-times the 8-stage breakdown; it
 defaults OFF because isolating each stage costs ~11 min of device time.
 `total` + theoretical FPS are recorded unconditionally from the measured
-frame.  The round-4 breakdown is in BASELINE.md (gen_rays 1679 ms,
-prep_train 676 ms, nn 124 ms of a 2.23 s frame — tracing-bound).
+frame.  Round-5 headline: 1797.6 ms = 1.154M rays/s (packed-row
+compaction takes, exact-zero empty macro cells + plan retune, unrolled
+2-bounce primary, 2^12 tables at measured quality parity — BASELINE.md
+"Whole-frame trail").  The frame remains tracing-bound; nn stages are
+~35 ms after the 2^12 adoption.
 
 Sub-100ms measurements use the chained-scan protocol (profiler._chain_time):
 the axon tunnel acks block_until_ready early, so naive wall timing of small
