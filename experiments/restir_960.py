@@ -45,24 +45,16 @@ def sync(state):
     return float(jnp.sum(state.image))
 
 
-def main():
-    cfg = AppConfig(scene=SceneConfig.preset(4), render_width=W,
-                    render_height=H, mc_path_length=32,
-                    restir=RestirConfig(path_vertex_count=4,
-                                        spatial_kernel_size=3,
-                                        temporal_kernel_size=2))
-    cam = Camera.reference_camera(aspect=W / H)
-    out = {"resolution": f"{W}x{H}", "frames": FRAMES,
-           "truth_frames": TRUTH_FRAMES, "scene": 4}
-
+def run_restir(cfg, cam, out, suffix=""):
     r = RestirRenderer(cfg)
     state = r.init_state(0)
     t0 = time.time()
     state = r.step(state, cam)
     jax.block_until_ready(state.image)
-    out["restir_compile_plus_first_frame_s"] = round(time.time() - t0, 1)
-    print(f"restir compile+first: {out['restir_compile_plus_first_frame_s']}s",
-          flush=True)
+    out[f"restir_compile_plus_first_frame_s{suffix}"] = round(
+        time.time() - t0, 1)
+    print(f"restir{suffix} compile+first: "
+          f"{out[f'restir_compile_plus_first_frame_s{suffix}']}s", flush=True)
 
     sync(state)
     t0 = time.time()
@@ -70,9 +62,28 @@ def main():
         state = r.step(state, cam)
     sync(state)
     dt = (time.time() - t0) / (FRAMES - 1)
-    out["restir_ms_per_frame"] = round(dt * 1000, 1)
-    print(f"restir: {dt*1000:.1f} ms/frame", flush=True)
-    restir_img = np.asarray(state.image)
+    out[f"restir_ms_per_frame{suffix}"] = round(dt * 1000, 1)
+    print(f"restir{suffix}: {dt*1000:.1f} ms/frame", flush=True)
+    return np.asarray(state.image)
+
+
+def main():
+    import dataclasses
+    cfg = AppConfig(scene=SceneConfig.preset(4), render_width=W,
+                    render_height=H, mc_path_length=32,
+                    restir=RestirConfig(path_vertex_count=4,
+                                        spatial_kernel_size=3,
+                                        temporal_kernel_size=2,
+                                        mis_weights=True))
+    cam = Camera.reference_camera(aspect=W / H)
+    out = {"resolution": f"{W}x{H}", "frames": FRAMES,
+           "truth_frames": TRUTH_FRAMES, "scene": 4}
+
+    # headline: MIS-weighted splicing (round 5); uniform = shader parity
+    restir_img = run_restir(cfg, cam, out)
+    cfg_uni = dataclasses.replace(
+        cfg, restir=dataclasses.replace(cfg.restir, mis_weights=False))
+    restir_uni_img = run_restir(cfg_uni, cam, out, suffix="_uniform")
 
     mc = McRenderer(cfg)
     mst = mc.init_state(1)
@@ -90,13 +101,25 @@ def main():
     mc_img = np.asarray(mst.image)
 
     # steps_per_dispatch kept small: a 960x540 32-bounce frame is ~7 s of
-    # device time and the tunnel kills dispatches much past ~60 s
-    truth = np.asarray(mc.render(cam, TRUTH_FRAMES, seed=7,
-                                 steps_per_dispatch=4))
+    # device time and the tunnel kills dispatches much past ~60 s.
+    # The 256-frame truth costs ~26 min of chip; cache it on disk.
+    truth_path = f"output/restir_960_truth_{TRUTH_FRAMES}.npy"
+    if os.path.exists(truth_path):
+        truth = np.load(truth_path)
+        print(f"truth loaded from {truth_path}", flush=True)
+    else:
+        truth = np.asarray(mc.render(cam, TRUTH_FRAMES, seed=7,
+                                     steps_per_dispatch=4))
+        os.makedirs("output", exist_ok=True)
+        np.save(truth_path, truth)
     out["restir_mse_vs_truth"] = mse(restir_img, truth)
+    out["restir_mse_vs_truth_uniform"] = mse(restir_uni_img, truth)
     out["mc_mse_vs_truth"] = mse(mc_img, truth)
     out["mse_ratio_restir_over_mc"] = round(
         out["restir_mse_vs_truth"] / max(out["mc_mse_vs_truth"], 1e-12), 4)
+    out["mse_ratio_uniform_over_mc"] = round(
+        out["restir_mse_vs_truth_uniform"] / max(out["mc_mse_vs_truth"],
+                                                 1e-12), 4)
     print(json.dumps(out, indent=1), flush=True)
     os.makedirs("output", exist_ok=True)
     with open("output/restir_960.json", "w") as f:

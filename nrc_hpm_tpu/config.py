@@ -97,6 +97,11 @@ class RestirConfig:
     path_vertex_count: int = 8
     spatial_kernel_size: int = 3
     temporal_kernel_size: int = 2
+    # Beyond-reference (round 5): weighted-RIS splicing with the phase
+    # reconnection factor as the resampling target and the RIS
+    # contribution weight applied at shading.  False reproduces the
+    # shader's uniform 1/stream splicing exactly (models/restir.py).
+    mis_weights: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,8 +123,9 @@ def test_temporal_reuse_noop_on_frame0():
     info = jnp.concatenate(
         [jnp.zeros((h, w, 3)), jnp.ones((h, w, 1))], axis=-1)
     rs = rng.init_state(jnp.zeros((h, w, 2)), jnp.ones((4,)))
-    out_res, out_old, out_stats, _ = _temporal_reuse(
-        rs, res, old, stats, info, jnp.int32(0), v, t)
+    mis = jnp.zeros((h, w, 2))
+    out_res, out_old, out_stats, _, _ = _temporal_reuse(
+        rs, res, old, stats, mis, info, jnp.int32(0), v, t)
     np.testing.assert_array_equal(np.asarray(out_res), np.asarray(res))
     np.testing.assert_array_equal(np.asarray(out_old), np.asarray(old))
     # the stream still advanced for scattered pixels
@@ -136,6 +137,99 @@ def test_restir_config_defaults():
     assert cfg.restir.path_vertex_count == 8
     assert cfg.restir.spatial_kernel_size == 3
     assert cfg.restir.temporal_kernel_size == 2
+    assert cfg.restir.mis_weights is True
+
+
+def test_uniform_weights_make_wsum_equal_stream():
+    """weighted=False must reproduce the shader's uniform 1/stream scheme:
+    every examined candidate contributes weight 1, so wsum == stream - 1
+    and the RIS contribution weight in _shade is exactly 1."""
+    h, w, v, t = 4, 4, 3, 2
+    res = jax.random.uniform(jax.random.PRNGKey(3), (h, w, v, 6))
+    old = jax.random.uniform(jax.random.PRNGKey(4), (t, h, w, v, 6))
+    stats = jnp.stack([jnp.ones((h, w)), jnp.zeros((h, w))], axis=-1)
+    mis = jnp.zeros((h, w, 2))
+    info = jnp.concatenate(
+        [jnp.zeros((h, w, 3)), jnp.ones((h, w, 1))], axis=-1)
+    rs = rng.init_state(jnp.zeros((h, w, 2)), jnp.ones((4,)))
+    _, _, out_stats, out_mis, _ = _temporal_reuse(
+        rs, res, old, stats, mis, info, jnp.int32(5), v, t,
+        g=0.8, weighted=False)
+    np.testing.assert_allclose(np.asarray(out_mis[..., 0]),
+                               np.asarray(out_stats[..., 0]) - 1.0)
+    # selected candidates carry weight exactly 1
+    w_sel = np.asarray(out_mis[..., 1])
+    assert set(np.unique(w_sel)) <= {0.0, 1.0}
+
+
+def test_weighted_selection_prefers_high_phase_candidate():
+    """With mis_weights the stream is weighted RIS: a candidate whose
+    reconnection factor dwarfs the others must win the stream (w-ratio
+    ~((1+g)/(1-g))^3 ~ 7000 at g=0.9)."""
+    h, w, v, t = 2, 2, 3, 2
+    # own path marches along +x: vertices (0,0,0), (1,0,0), (2,0,0)
+    own = jnp.zeros((h, w, v, 6))
+    own = own.at[..., 1, 0].set(1.0).at[..., 2, 0].set(2.0)
+    # slot for t=0 at frame=4 (even): mod(4-1, 2) = 1; t=1 -> slot 0
+    old = jnp.zeros((t, h, w, v, 6))
+    # candidate (t=0, v=2): q so conn = -last_dir (dot = +1, max weight)
+    old = old.at[1, ..., 2, 0].set(0.0)   # q=(0,0,0), r=own[1]=(1,0,0)
+    # candidate (t=1, v=2): forward conn = +last_dir (dot = -1, tiny)
+    old = old.at[0, ..., 2, 0].set(3.0)
+    stats = jnp.stack([jnp.ones((h, w)), jnp.zeros((h, w))], axis=-1)
+    mis = jnp.zeros((h, w, 2))
+    info = jnp.concatenate(
+        [jnp.zeros((h, w, 3)), jnp.ones((h, w, 1))], axis=-1)
+    rs = rng.init_state(
+        jnp.stack(jnp.meshgrid(jnp.linspace(0, 1, w),
+                               jnp.linspace(0, 1, h)), axis=-1),
+        jnp.asarray([0.3, 0.7, 0.1, 0.9]))
+    out_res, _, out_stats, out_mis, _ = _temporal_reuse(
+        rs, own, old, stats, mis, info, jnp.int32(4), v, t,
+        g=jnp.float32(0.9), weighted=True)
+    # every pixel must have selected the (t=0, v=2) splice: exchange == 2
+    # and the spliced vertex-2 position is the high-weight q == 0
+    np.testing.assert_array_equal(np.asarray(out_stats[..., 1]), 2.0)
+    np.testing.assert_allclose(np.asarray(out_res[..., 2, 0]), 0.0)
+    # the recorded w_sel is the dominant weight (hg_phase(+1) at g=0.9)
+    from nrc_hpm_tpu.sampling import hg_phase
+    np.testing.assert_allclose(
+        np.asarray(out_mis[..., 1]),
+        float(hg_phase(jnp.float32(1.0), jnp.float32(0.9))), rtol=1e-5)
+
+
+def test_ris_contribution_weight_scales_suffix():
+    """_shade applies W = wsum/(M * w_sel) at the exchange vertex: with
+    wsum == M * w_sel the image equals the no-mis shading; doubling wsum
+    doubles only the spliced-suffix contribution."""
+    cfg = AppConfig(scene=SceneConfig.preset(4), render_width=24,
+                    render_height=24,
+                    restir=RestirConfig(path_vertex_count=3))
+    r = RestirRenderer(cfg)
+    cam = Camera.reference_camera(aspect=1.0)
+    st = r.init_state(0)
+    st = r.step(st, cam)   # real reservoirs/paths
+    params = TraceParams(flags=LightFlags.from_scene(cfg.scene))
+    rs = rng.init_state(jnp.zeros((24, 24, 2)), jnp.ones((4,)))
+    # force exchange = 1 everywhere so the factor applies
+    stats = jnp.stack([jnp.full((24, 24), 5.0), jnp.ones((24, 24))], axis=-1)
+    m = 4.0
+    mis_neutral = jnp.stack([jnp.full((24, 24), m * 2.0),
+                             jnp.full((24, 24), 2.0)], axis=-1)
+    mis_double = jnp.stack([jnp.full((24, 24), 2 * m * 2.0),
+                            jnp.full((24, 24), 2.0)], axis=-1)
+    img_none, _ = _shade(rs, r.vol, r.lights, params, st.reservoir,
+                         stats, st.pixel_info, 3, mis=None)
+    img_neutral, _ = _shade(rs, r.vol, r.lights, params, st.reservoir,
+                            stats, st.pixel_info, 3, mis=mis_neutral)
+    img_double, _ = _shade(rs, r.vol, r.lights, params, st.reservoir,
+                           stats, st.pixel_info, 3, mis=mis_double)
+    np.testing.assert_allclose(np.asarray(img_neutral),
+                               np.asarray(img_none), rtol=1e-6)
+    # doubling W scales the (suffix) radiance up, never down
+    a = np.asarray(img_neutral[..., :3])
+    b = np.asarray(img_double[..., :3])
+    assert (b >= a - 1e-6).all() and b.sum() > a.sum()
 
 
 def test_restir_statistically_matches_mc_structure():
